@@ -1,24 +1,94 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract). Prints ONE JSON line:
+  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *  "cpus":N,"n_docs":N,"files_per_sec":N}
+  *
+  * Env knobs:
+  *  - SPARK_GRAFT_SF_DIR  input dir (default sf0.1)
+  *  - SPARK_GRAFT_CPUS    local[N] threads = shuffle partitions
+  *  - SPARK_GRAFT_MULT    corpus inflation factor for scaling runs: each doc
+  *    is replicated MULT times with a distinct suffix + identity, giving a
+  *    deterministic larger corpus with heavy near-dup structure (the
+  *    worst-case load for pair generation). Used for the N-vs-4N-cores
+  *    scaling-efficiency evidence in BASELINE.md.
+  */
 object Bench {
+
+  /** documents.parquet mapped to T1, optionally inflated ×mult. */
+  def benchT1(spark: SparkSession, sfDir: String, mult: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus =
+      if (mult <= 1) {
+        base.select(col("source").as("repo"),
+          concat(lit("doc/"), col("doc_id")).as("path"), lit("v0").as("commit"),
+          col("lang"), col("text").as("content"))
+      } else {
+        base.select(col("doc_id"), col("source"), col("lang"), col("text"),
+          explode(sequence(lit(0), lit(mult - 1))).as("rep"))
+          .select(
+            concat(col("source"), lit("_"), col("rep")).as("repo"),
+            concat(lit("doc/"), col("doc_id"), lit("/"), col("rep")).as("path"),
+            lit("v0").as("commit"), col("lang"),
+            // replicas differ by a short suffix: near-dup clusters of size
+            // `mult` — a heavy, realistic pair-generation load
+            concat(col("text"), lit(" rep"), col("rep")).as("content"))
+      }
+    ingest.Ingest.ingest(corpus)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val t1 = benchT1(spark, sfDir, mult).persist()
+    val nDocs = t1.count()
+
+    def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val headline: Seq[(String, () => Long)] = Seq(
+      "dedup_end_to_end" -> (() =>
+        DedupPipeline.run(spark, t1, conf.DedupConfig.default).clusters.count()),
+      "dedup_signatures" -> (() =>
+        DedupPipeline.signatures(spark, t1, conf.DedupConfig.default).count()),
+      "exact_dup_groups" -> (() => SparkEntry.queries("exact_dup_groups")(spark, sfDir).count()),
+      "text_token_counts" -> (() => SparkEntry.queries("text_token_counts")(spark, sfDir).count()),
+      "text_quality" -> (() => SparkEntry.queries("text_quality")(spark, sfDir).count()),
+      "ann_topk_brute" -> (() => SparkEntry.queries("ann_topk_brute")(spark, sfDir).count()),
+      "ann_topk_lsh" -> (() => SparkEntry.queries("ann_topk_lsh")(spark, sfDir).count()),
+      "q_agg_pricing" -> (() => SparkEntry.queries("q_agg_pricing")(spark, sfDir).count()),
+      "q_join_agg" -> (() => SparkEntry.queries("q_join_agg")(spark, sfDir).count()),
+      "q_window_rank" -> (() => SparkEntry.queries("q_window_rank")(spark, sfDir).count()),
+      "q_events_hourly" -> (() => SparkEntry.queries("q_events_hourly")(spark, sfDir).count()),
+    )
+
+    val results = headline.map { case (name, f) =>
+      val (sec, _) = try time(f()) catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1.0, -1L)
+      }
+      name -> sec
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val e2e = results.toMap.getOrElse("dedup_end_to_end", -1.0)
+    val fps = if (e2e > 0) nDocs / e2e else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"mult":$mult,"n_docs":$nDocs,"files_per_sec":$fps}""")
     spark.stop()
   }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.conf.DedupConfig
+import graft.kernel.SignatureKernel
+import graft.model.DocRow
+
+/** The end-to-end near-duplicate pipeline as lazy DataFrames
+  * (SURVEY.md §3.2). [[graft.Dedup]] adds per-stage checkpointing/lineage on
+  * top; SparkEntry.queries exposes individual stages for the driver's
+  * correctness/bench loop.
+  */
+object DedupPipeline {
+
+  final case class Result(
+      t1: DataFrame,
+      signatures: DataFrame,
+      bands: DataFrame,
+      candidatePairs: DataFrame,
+      verifiedPairs: DataFrame,
+      clusters: DataFrame,
+      clusterStats: DataFrame,
+      stopBands: DataFrame)
+
+  /** T1 → T3: the fused shingle+MinHash+SimHash typed kernel. Permutation
+    * coefficients are built once per partition; the serde boundary
+    * (InternalRow → DocRow → Signature) is deliberate and confined to this
+    * one stage.
+    */
+  def signatures(spark: SparkSession, t1: DataFrame, cfg: DedupConfig): DataFrame = {
+    import spark.implicits._
+    t1.select(col("doc_id"), col("lang"), col("content")).as[DocRow]
+      .mapPartitions { it =>
+        val coefs = new SignatureKernel.PermCoefs(cfg.numPerms, cfg.seed)
+        it.map(d => SignatureKernel.signature(d.doc_id, d.content, cfg, coefs))
+      }
+      .toDF()
+  }
+
+  /** Shingle arrays (T2) — exposed for exact-Jaccard tests/calibration, not
+    * on the main path (the fused kernel never materializes T2).
+    */
+  def shingled(spark: SparkSession, t1: DataFrame, cfg: DedupConfig): DataFrame = {
+    import spark.implicits._
+    t1.select(col("doc_id"), col("lang"), col("content")).as[DocRow]
+      .mapPartitions { it =>
+        it.map { d =>
+          val sh = SignatureKernel.shingles(
+            SignatureKernel.tokenHashes(d.content, cfg.seed), cfg.shingleK, cfg.seed)
+          (d.doc_id, sh, sh.length)
+        }
+      }
+      .toDF("doc_id", "shingles", "n_shingles")
+  }
+
+  /** Assemble the full pipeline lazily from a T1 docs table. */
+  def run(spark: SparkSession, t1: DataFrame, cfg: DedupConfig = DedupConfig.default,
+      withSuffixPass: Boolean = true): Result = {
+    val sigs = signatures(spark, t1, cfg)
+    val bands = lsh.Banding.bandRows(sigs, cfg)
+    val (lshPairs, stopBands) = lsh.CandidatePairs.generate(spark, bands, cfg)
+    val exact = lsh.CandidatePairs.exactPairs(t1)
+    val suffix =
+      if (withSuffixPass)
+        suffix_.containmentPairs(spark, t1, cfg)
+          .select(col("a"), col("b"), col("src"))
+      else spark.emptyDataFrame
+
+    // Verified edge set: LSH pairs pass Jaccard/Hamming; exact and suffix
+    // pairs are verified by construction. Canonical union with src priority.
+    val lshVerified = verify.Verifier.verifyLshPairs(lshPairs, sigs, cfg)
+    val exactV = exact.withColumn("est_jaccard", lit(1.0d)).select("a", "b", "est_jaccard", "src")
+    val suffixV =
+      if (withSuffixPass)
+        suffix.withColumn("est_jaccard", lit(1.0d)).select("a", "b", "est_jaccard", "src")
+      else null
+    val unionAll =
+      if (withSuffixPass) lshVerified.unionByName(exactV).unionByName(suffixV)
+      else lshVerified.unionByName(exactV)
+    val verified = unionAll
+      .groupBy("a", "b")
+      .agg(min("src").as("src"), max("est_jaccard").as("est_jaccard"))
+
+    val mapping = cc.ConnectedComponents.run(spark, verified.select("a", "b"))
+    val clusters = cc.ConnectedComponents.assignAll(t1, mapping)
+
+    val stats = clusters.join(t1.select("doc_id", "repo"), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("size"),
+        countDistinct(col("repo")).as("n_repos"),
+        min(col("doc_id")).as("rep_doc"))
+
+    // All candidate sources, canonicalized (T5) — for reporting/fixtures.
+    val candidates =
+      (if (withSuffixPass) lshPairs.unionByName(exact).unionByName(suffix)
+       else lshPairs.unionByName(exact))
+        .groupBy("a", "b").agg(min("src").as("src"))
+
+    Result(t1, sigs, bands, candidates, verified, clusters, stats, stopBands)
+  }
+
+  private val suffix_ = graft.suffix.SuffixPass
+}

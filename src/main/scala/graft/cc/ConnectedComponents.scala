@@ -1,0 +1,85 @@
+package graft.cc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative connected components over DataFrames — alternating
+  * large-star/small-star (Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", SoCC 2014; SURVEY.md §2 rows 30–33). Converges in O(log n)
+  * rounds; each round is two `groupBy(min)` + join-back shuffles.
+  *
+  * Plan hygiene: every round ends in `localCheckpoint(eager)` — without it
+  * the logical plan doubles per iteration and Catalyst re-analysis dominates
+  * (classic iterative-DataFrame failure). Convergence is detected by a cheap
+  * (count, xor/sum-of-hash) checksum instead of a full `except`.
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with long columns `a`, `b` (undirected).
+    * @return mapping `doc_id, cluster_id` for every vertex appearing in an
+    *         edge; cluster_id = min doc_id of the component.
+    */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Orient big → small; drop self-loops.
+    var e = edges
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    var prev = checksum(e)
+    while (!converged && iter < maxIter) {
+      // Large-star: for each u over its full neighborhood Γ(u),
+      // m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+      val bi = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bi.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = bi.where(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+
+      // Small-star on (u > v) edges: m = min(N⁻(u) ∪ {u}) = min neighbor;
+      // emit (v, m) for v ∈ N⁻(u) \ {m} plus (u, m).
+      val mins2 = ls.groupBy("u").agg(min("v").as("mn"))
+      val ss = ls.join(mins2, "u")
+        .where(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(mins2.select(col("u"), col("mn").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+
+      val cur = checksum(ss)
+      converged = cur == prev
+      prev = cur
+      e = ss
+      iter += 1
+    }
+
+    // At the fixpoint edges form stars (child → component min).
+    e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(e.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+  }
+
+  /** Attach cluster ids to every doc; vertices not in any edge are singleton
+    * clusters of themselves.
+    */
+  def assignAll(docs: DataFrame, mapping: DataFrame): DataFrame =
+    docs.select("doc_id")
+      .join(mapping, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+
+  private def checksum(e: DataFrame): (Long, Long) = {
+    // bit_xor is order-independent and cannot overflow (edges are distinct,
+    // so xor-of-set + count identifies the set for convergence purposes).
+    val row = e.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+}

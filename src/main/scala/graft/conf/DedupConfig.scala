@@ -1,0 +1,55 @@
+package graft.conf
+
+/** Pinned pipeline configuration ("DefaultConfig v1", SURVEY.md §1.3).
+  *
+  * The north rule (BASELINE.json `north_rule`) requires reproducing cluster
+  * assignments "at the same shingle/signature config", so the config is a
+  * first-class serialized value: it is written into stage lineage
+  * ([[graft.io.StageMeta]]) and resume refuses to mix configs.
+  *
+  * Algorithm parameters derive from public papers only:
+  *  - MinHash permutation family h_i(x) = (a_i*x + b_i) mod (2^61-1)
+  *    (Broder 1997; Leskovec/Rajaraman/Ullman, MMDS ch.3).
+  *  - Banding b=16, r=8 => collision threshold ~ (1/16)^(1/8) ~ 0.707 (MMDS 3.4).
+  *  - 64-bit SimHash, Hamming <= 3 (Charikar STOC'02; Manku et al. WWW'07).
+  *  - Suffix/substring pass >= 50 shared tokens (Lee et al. ACL'22).
+  */
+final case class DedupConfig(
+    shingleK: Int = 5,
+    numPerms: Int = 128,
+    bands: Int = 16,
+    rowsPerBand: Int = 8,
+    // SimHash: 4 blocks of 16 bits. Pigeonhole: hammingMax=3 bit errors over
+    // 4 blocks leaves >=1 block intact, so a single-block index has full
+    // recall for Hamming<=3 (Manku et al. WWW'07 block-permute scheme).
+    simhashBlocks: Int = 4,
+    hammingMax: Int = 3,
+    jaccardTau: Double = 0.7,
+    suffixMinLen: Int = 50,
+    // (band, band_hash) groups larger than this are salted into buckets of
+    // ~maxBandSize so no single task is quadratic in the hot-group size.
+    maxBandSize: Int = 500,
+    // Groups larger than this are dropped entirely ("stop bands", logged to
+    // lineage) - analogous to stop-words; recall survives because true
+    // near-dups collide in many independent bands.
+    stopBandSize: Int = 20000,
+    // Rare-shingle doc-frequency cap used to scope the suffix/containment
+    // pass: only shingles shared by 2..dfMax docs anchor candidate groups.
+    suffixDfMax: Int = 64,
+    seed: Long = 42L,
+    version: String = "v1",
+) {
+  require(numPerms == bands * rowsPerBand, "numPerms must equal bands*rowsPerBand")
+  require(64 % simhashBlocks == 0, "simhashBlocks must divide 64")
+
+  def simhashBlockBits: Int = 64 / simhashBlocks
+
+  /** Stable fingerprint of the config, stamped into lineage rows. */
+  def fingerprint: String =
+    s"$version:k$shingleK:p$numPerms:b${bands}x$rowsPerBand:sb$simhashBlocks" +
+      s":h$hammingMax:tau$jaccardTau:sfx$suffixMinLen:mb$maxBandSize:seed$seed"
+}
+
+object DedupConfig {
+  val default: DedupConfig = DedupConfig()
+}

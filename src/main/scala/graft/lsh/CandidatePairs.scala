@@ -1,0 +1,113 @@
+package graft.lsh
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.conf.DedupConfig
+import graft.model.{BandedDoc, Pair}
+
+/** T4 → T5 candidate-pair generation with explicit skew handling
+  * (SURVEY.md §2 rows 18–19, 22) — the north rule's "explicit salting for
+  * skewed bands". AQE cannot fix this: a quadratic `flatMapGroups` group is
+  * one task no matter how the join partitions are split, so the salt must
+  * change the grouping key itself.
+  *
+  * Strategy (one count pre-pass + one grouped shuffle):
+  *  1. `groupBy(band, band_hash).count` finds group sizes (cheap additive
+  *     agg, map-side partial).
+  *  2. Groups > `stopBandSize` are dropped entirely ("stop bands" — license
+  *     headers, empty-ish files; logged for recall accounting). True
+  *     near-dups still collide in the other 15+ independent bands.
+  *  3. Groups in (maxBandSize, stopBandSize] are *salted*: each doc gets
+  *     `salt = pmod(xxhash64(doc_id), s)` with `s = ceil(cnt/maxBandSize)`,
+  *     and is replicated to the `s` bucket-pairs {(min(x,salt), max(x,salt))
+  *     : x ∈ [0,s)} — triangle partitioning. Every unordered doc pair of the
+  *     hot group lands in exactly one (i,j) bucket-pair group of ~2·
+  *     maxBandSize docs, so the quadratic work is spread over s(s+1)/2
+  *     bounded tasks instead of one. The emitted pair SET is identical to
+  *     the unsalted one (verified by SaltingSpec).
+  *  4. `flatMapGroups` emits pairs a<b streamingly per group — NOT a
+  *     self-join, which would shuffle the band table twice and materialize
+  *     each pair twice before dedup.
+  */
+object CandidatePairs {
+
+  /** @return (candidate pairs `a,b,src` deduped with src priority,
+    *          stop-band log `band,band_hash,cnt`)
+    */
+  def generate(spark: SparkSession, bandRows: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
+    import spark.implicits._
+
+    val counts = bandRows.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
+    val stop = counts.where(col("cnt") > cfg.stopBandSize)
+    val hot = counts
+      .where(col("cnt") > cfg.maxBandSize && col("cnt") <= cfg.stopBandSize)
+      .select(col("band"), col("band_hash"),
+        ceil(col("cnt") / cfg.maxBandSize.toDouble).cast("int").as("s"))
+
+    // Hot/stop band lists are tiny by construction (they are the tail of the
+    // group-size distribution) → broadcast both sides.
+    val salted = bandRows
+      .join(broadcast(stop.select("band", "band_hash")), Seq("band", "band_hash"), "left_anti")
+      .join(broadcast(hot), Seq("band", "band_hash"), "left")
+      .na.fill(Map("s" -> 1))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), col("s")).cast("int"))
+
+    val exploded = salted
+      .select(col("band"), col("band_hash"), col("doc_id"), col("salt"),
+        explode(transform(sequence(lit(0), col("s") - 1),
+          x => struct(least(x, col("salt")).as("i"), greatest(x, col("salt")).as("j")))).as("bp"))
+      .select(col("band"), col("band_hash"), col("bp.i").as("i"), col("bp.j").as("j"),
+        col("doc_id"), col("salt"))
+      .as[BandedDoc]
+
+    val nMinhashBands = cfg.bands
+    val rawPairs = exploded
+      .groupByKey(r => (r.band, r.band_hash, r.i, r.j))
+      .flatMapGroups { (key: (Int, Long, Int, Int), it: Iterator[BandedDoc]) =>
+        val (band, _, i, j) = key
+        val src = if (band < nMinhashBands) "minhash" else "simhash"
+        if (i == j) {
+          val docs = it.map(_.doc_id).toArray
+          java.util.Arrays.sort(docs)
+          for {
+            x <- docs.indices.iterator
+            y <- (x + 1 until docs.length).iterator
+            if docs(x) != docs(y)
+          } yield Pair(docs(x), docs(y), src)
+        } else {
+          val left = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val right = scala.collection.mutable.ArrayBuffer.empty[Long]
+          it.foreach(d => if (d.salt == i) left += d.doc_id else right += d.doc_id)
+          for {
+            a <- left.iterator
+            b <- right.iterator
+            if a != b
+          } yield Pair(math.min(a, b), math.max(a, b), src)
+        }
+      }
+
+    // Canonical dedup keeping the strongest source; priority order happens
+    // to be alphabetical: exact < minhash < simhash < suffix.
+    val pairs = rawPairs.toDF()
+      .groupBy("a", "b").agg(min("src").as("src"))
+
+    (pairs, stop)
+  }
+
+  /** Exact-duplicate star pairs by content sha256 (row 20). Deliberately NOT
+    * `collect_list` (a 10^12-file corpus has billion-row identical-content
+    * groups — empty files); group → min rep → join back keeps every task
+    * linear in its partition.
+    */
+  def exactPairs(t1: DataFrame): DataFrame = {
+    val reps = t1.groupBy("content_sha256")
+      .agg(min("doc_id").as("a"), count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select("content_sha256", "a")
+    t1.select(col("content_sha256"), col("doc_id"))
+      .join(reps, "content_sha256")
+      .where(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b"), lit("exact").as("src"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.model
+
+/** Row models for the pipeline stage tables (SURVEY.md §1.2 T0–T9), as
+  * top-level case classes so Catalyst serializer/deserializer codegen never
+  * needs an outer instance. Arrays are Array[Long] (ArrayType(LongType)).
+  */
+
+/** T0 — canonical input (BASELINE.json input_hint). */
+final case class CorpusRow(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String)
+
+/** T1 minus the provenance columns — what the kernels need. */
+final case class DocRow(doc_id: Long, lang: String, content: String)
+
+/** T3 — fused signature output of the mapPartitions kernel. */
+final case class Signature(
+    doc_id: Long,
+    minhash: Array[Long],
+    simhash: Long,
+    n_shingles: Int)
+
+/** T4 — one row per (doc, band); band ids 0..bands-1 are MinHash bands,
+  * bands..bands+simhashBlocks-1 are SimHash blocks.
+  */
+final case class BandRow(doc_id: Long, band: Int, band_hash: Long)
+
+/** T5/T6 — candidate / verified pair. Canonical orientation a < b.
+  * src priority happens to be alphabetical: exact < minhash < simhash < suffix.
+  */
+final case class Pair(a: Long, b: Long, src: String)
+
+final case class VerifiedPair(a: Long, b: Long, est_jaccard: Double, src: String)
+
+/** T7 — cluster assignment; cluster_id = min doc_id in the component. */
+final case class ClusterRow(doc_id: Long, cluster_id: Long)
+
+/** Suffix-pass tokens: ordered (non-distinct) token hashes per doc. */
+final case class TokenDoc(doc_id: Long, tokens: Array[Long])
+
+final case class SuffixPair(a: Long, b: Long, shared_len: Int)
+
+/** Salted band row during candidate generation: (i, j) is the triangle
+  * bucket-pair this replica participates in.
+  */
+final case class BandedDoc(
+    band: Int, band_hash: Long, i: Int, j: Int, doc_id: Long, salt: Int)
+

@@ -1,0 +1,140 @@
+package graft.suffix
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Hashing
+import graft.conf.DedupConfig
+import graft.kernel.SignatureKernel
+import graft.model.{DocRow, Pair, TokenDoc}
+
+/** Contained-duplicate pass (SURVEY.md §2 row 21): catches file A embedded
+  * verbatim in file B, which Jaccard misses when |A| ≪ |B| (resemblance vs
+  * containment, Broder '97).
+  *
+  * A corpus-global suffix array is not distributable on Spark, so the pass is
+  * two-stage, both stages bounded:
+  *
+  *  1. **minLen-gram index**: per doc, the distinct hashes of every
+  *     minLen-token gram. A shared substring of ≥ minLen tokens shares a
+  *     minLen-gram by definition, so `groupBy(gram)` with a doc-frequency
+  *     cap (2..suffixDfMax) yields complete candidate pairs; frequent grams
+  *     are boilerplate (license headers) and are dropped — by design they
+  *     must not create pairs. The cap is applied on the grams themselves,
+  *     NOT on winnowed fingerprints: winnowing's selection is
+  *     context-dependent, so boilerplate k-grams selected by only a few
+  *     docs (near the header/body boundary) would leak past a
+  *     fingerprint-level cap — observed on the boilerplate fixture.
+  *     [[winnow]] is kept as the documented sampling option for corpora
+  *     where the ×minLen gram blow-up matters more than cap precision.
+  *  2. **Per-pair generalized suffix array** ([[SuffixArrays]]): exact
+  *     longest shared substring over the two token streams; emit pairs with
+  *     shared_len ≥ minLen. Each kernel call is O((|A|+|B|)·log) and
+  *     independent → embarrassingly parallel.
+  */
+object SuffixPass {
+
+  /** Distinct hashes of every L-token gram of the stream. */
+  def grams(tokens: Array[Long], L: Int): Array[Long] = {
+    val n = tokens.length - L + 1
+    if (n <= 0) return Array.emptyLongArray
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { set.add(Hashing.sparkXxhash64(L, tokens, i, i + L)); i += 1 }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** Pure kernel: distinct winnowed fingerprint values of a token stream. */
+  def winnow(tokens: Array[Long], k: Int, w: Int): Array[Long] = {
+    val n = tokens.length - k + 1 // number of k-grams
+    if (n <= 0) return Array.emptyLongArray
+    val kh = new Array[Long](n)
+    var i = 0
+    while (i < n) { kh(i) = Hashing.sparkXxhash64(k, tokens, i, i + k); i += 1 }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (n <= w) { // short doc: single window
+      var m = kh(0); i = 1
+      while (i < n) { if (kh(i) < m) m = kh(i); i += 1 }
+      out.add(m)
+    } else {
+      // monotonic deque of indices, increasing hash value
+      val dq = new java.util.ArrayDeque[Int]()
+      i = 0
+      while (i < n) {
+        while (!dq.isEmpty && kh(dq.peekLast()) >= kh(i)) dq.pollLast()
+        dq.addLast(i)
+        if (dq.peekFirst() <= i - w) dq.pollFirst()
+        if (i >= w - 1) out.add(kh(dq.peekFirst()))
+        i += 1
+      }
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { res(i) = it.next(); i += 1 }
+    res
+  }
+
+  /** Ordered token-hash stream per doc (re-tokenized from content so the
+    * main pipeline never has to carry token arrays between stages).
+    */
+  def tokenDocs(spark: SparkSession, docs: DataFrame, cfg: DedupConfig): Dataset[TokenDoc] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("lang"), col("content")).as[DocRow]
+      .mapPartitions { it =>
+        it.map(d => TokenDoc(d.doc_id, SignatureKernel.tokenHashes(d.content, cfg.seed)))
+      }
+  }
+
+  /** Full pass: docs (doc_id, lang, content) → verified containment pairs
+    * (a, b, shared_len, src='suffix').
+    */
+  def containmentPairs(spark: SparkSession, docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    import spark.implicits._
+    val dfMax = cfg.suffixDfMax
+    val minLen = cfg.suffixMinLen
+
+    val toks = tokenDocs(spark, docs, cfg)
+      .filter(_.tokens.length >= cfg.suffixMinLen) // can't hold a minLen run otherwise
+
+    val fps = toks.flatMap(d => grams(d.tokens, minLen).map(fp => (fp, d.doc_id)))
+      .toDF("fp", "doc_id")
+
+    // Candidate pairs from shared rare fingerprints. groupByKey keeps the
+    // pair emission streaming per group; df cap bounds every group.
+    val cands = fps.as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val docsArr = it.map(_._2).toArray.distinct
+        if (docsArr.length < 2 || docsArr.length > dfMax) Iterator.empty
+        else {
+          java.util.Arrays.sort(docsArr)
+          for {
+            x <- docsArr.indices.iterator
+            y <- (x + 1 until docsArr.length).iterator
+          } yield (docsArr(x), docsArr(y))
+        }
+      }
+      .dropDuplicates()
+      .toDF("a", "b")
+
+    // Attach both token streams and run the per-pair suffix-array kernel.
+    val ta = toks.toDF("a", "toks_a")
+    val tb = toks.toDF("b", "toks_b")
+    cands.join(ta, "a").join(tb, "b")
+      .select(col("a"), col("b"), col("toks_a"), col("toks_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (a, b, tA, tB) =>
+          val len = SuffixArrays.maxCommonSubstring(tA, tB)
+          if (len >= cfg.suffixMinLen) Some((a, b, len)) else None
+        }
+      }
+      .toDF("a", "b", "shared_len")
+      .withColumn("src", lit("suffix"))
+  }
+}

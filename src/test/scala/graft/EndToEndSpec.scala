@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.conf.DedupConfig
+import graft.ingest.Ingest
+import graft.testutil.{FixtureGen, ReferenceOracle}
+
+/** The correctness gate (SURVEY.md §5.2): run the Spark pipeline and the
+  * single-threaded oracle on the same planted-duplicate corpus at the same
+  * pinned config and demand:
+  *   (a) bitwise signature equality,
+  *   (b) sha256 per-row invariant,
+  *   (c) dup-pair recall >= 0.99 (expected: exact set equality),
+  *   (d) cluster partition equality,
+  *   (e) planted exact/near/contained families actually clustered.
+  */
+class EndToEndSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val nDocs = 2000
+  // maxBandSize lowered so fixture band groups (exact-dup groups of up to 20
+  // identical signatures) genuinely exercise salting; pair/cluster output is
+  // provably independent of maxBandSize (SaltingSpec).
+  private val cfg = DedupConfig(maxBandSize = 15)
+
+  private lazy val (corpus, labels) = FixtureGen.corpusWithLabels(nDocs, 42L)
+  private lazy val oracle = ReferenceOracle.run(corpus, cfg)
+  private lazy val t1: DataFrame = {
+    val df = spark.createDataFrame(corpus)
+    Ingest.ingest(df.select("repo", "path", "commit", "lang", "content"))
+      .repartition(7) // deliberately ugly partitioning: results must not care
+  }
+  private lazy val result = DedupPipeline.run(spark, t1, cfg)
+
+  test("doc ids and sha256 match the oracle per row (invariant)") {
+    val got = result.t1.select("doc_id", "content_sha256").as[(Long, String)].collect().toMap
+    assert(got.size === nDocs)
+    assert(got === oracle.sha256)
+  }
+
+  test("signatures are bitwise equal to the oracle") {
+    val got = result.signatures.select("doc_id", "minhash", "simhash", "n_shingles")
+      .as[(Long, Array[Long], Long, Int)].collect()
+    assert(got.length === nDocs)
+    got.foreach { case (id, mh, sh, n) =>
+      val o = oracle.signatures(id)
+      assert(n === o.n_shingles, s"n_shingles doc $id")
+      assert(sh === o.simhash, s"simhash doc $id")
+      assert(mh.toSeq === o.minhash.toSeq, s"minhash doc $id")
+    }
+  }
+
+  test("candidate pairs equal the oracle's (recall >= 0.99 required, exact expected)") {
+    val got = result.candidatePairs.select("a", "b").as[(Long, Long)].collect().toSet
+    val golden = oracle.candidatePairs
+    val recall = got.intersect(golden).size.toDouble / math.max(1, golden.size)
+    assert(recall >= 0.99, s"candidate recall $recall")
+    assert(got === golden, s"extra=${(got -- golden).take(5)} missing=${(golden -- got).take(5)}")
+  }
+
+  test("verified pairs equal the oracle's") {
+    val got = result.verifiedPairs.select("a", "b").as[(Long, Long)].collect().toSet
+    val golden = oracle.verifiedPairs
+    val recall = got.intersect(golden).size.toDouble / math.max(1, golden.size)
+    assert(recall >= 0.99, s"verified recall $recall")
+    assert(got === golden, s"extra=${(got -- golden).take(5)} missing=${(golden -- got).take(5)}")
+  }
+
+  test("cluster assignments equal the oracle's partition") {
+    val got = result.clusters.as[(Long, Long)].collect().toMap
+    assert(got.size === nDocs)
+    assert(got === oracle.clusters)
+  }
+
+  test("planted families are actually clustered (sanity vs ground truth)") {
+    val ids = corpus.map(ReferenceOracle.docId)
+    val byGroup = ids.zip(labels).groupBy { case (_, l) => (l.family, l.groupId) }
+    val clusters = oracle.clusters
+    // exact groups: always one cluster
+    byGroup.filter(_._1._1 == "exact").foreach { case (g, ms) =>
+      assert(ms.map(m => clusters(m._1)).distinct.size === 1, s"exact group $g split")
+    }
+    // contained pairs: same cluster (suffix pass)
+    byGroup.filter(_._1._1 == "contained").filter(_._2.size == 2).foreach { case (g, ms) =>
+      assert(ms.map(m => clusters(m._1)).distinct.size === 1, s"contained pair $g split")
+    }
+    // boilerplate: headers alone must NOT merge docs of different tails into
+    // mega-clusters: the largest boiler-only cluster stays small
+    val boilerIds = ids.zip(labels).filter(_._2.family == "boiler").map(_._1)
+    if (boilerIds.nonEmpty) {
+      val sizes = boilerIds.groupBy(clusters).values.map(_.size)
+      assert(sizes.max <= math.max(5, boilerIds.size / 10),
+        s"boilerplate created a mega-cluster: ${sizes.max} of ${boilerIds.size}")
+    }
+  }
+
+  test("pipeline verified pairs: boilerplate-only pairs are absent") {
+    val fam = corpus.map(ReferenceOracle.docId).zip(labels).toMap
+    val got = result.verifiedPairs.select("a", "b").as[(Long, Long)].collect()
+    val boilerPairs = got.filter { case (a, b) =>
+      fam(a).family == "boiler" && fam(b).family == "boiler"
+    }
+    // boiler docs have unique tails; any pair among them would be header-driven
+    assert(boilerPairs.length <= got.length / 50,
+      s"${boilerPairs.length} boilerplate pairs of ${got.length}")
+  }
+}
