@@ -69,6 +69,12 @@ object SparkEntry {
     "ann_topk_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
 
+    // ---- multimodal binary-column plumbing (decode stubbed; rows-only) ----
+    "mm_decode" -> ((s, d) =>
+      extra.Multimodal.decode(s, extra.Multimodal.assets(s, d)).toDF().orderBy("asset_id")),
+    "mm_features" -> ((s, d) =>
+      extra.Multimodal.features(s, extra.Multimodal.assets(s, d)).toDF().orderBy("asset_id")),
+
     // ---- relational operator surface (SURVEY §2.7, all Q/sql) ----
     "q_agg_pricing" -> ((s, d) =>
       s.read.parquet(s"$d/lineitem.parquet")

@@ -1,0 +1,73 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-stage lineage + metrics (SURVEY.md §1.2 T9): one row per output
+  * partition file with row/byte counts, plus the input fingerprint the
+  * stage was computed from. Powers exact resume: a stage is reusable iff
+  * it is complete (_SUCCESS) AND its recorded fingerprint equals the
+  * fingerprint recomputed from the current upstream chain + config.
+  */
+object StageMeta {
+
+  val StageMetaDir = "stage_meta"
+
+  final case class MetaRow(
+      run_id: String,
+      stage: String,
+      partition_file: String,
+      rows: Long,
+      bytes: Long,
+      input_fingerprint: String,
+      wall_ms: Long,
+      ts: java.sql.Timestamp)
+
+  /** Record lineage for a stage that was just written to `catalog`.
+    * Per-file row counts come from reading the written files back (grouped
+    * by `input_file_name`), byte sizes from the file system — honest
+    * numbers, not estimates.
+    */
+  def record(
+      spark: SparkSession,
+      catalog: ParquetCatalog,
+      runId: String,
+      stage: String,
+      fingerprint: String,
+      wallMs: Long): Unit = {
+    import spark.implicits._
+    val loc = catalog.location(stage)
+    val perFile = spark.read.parquet(loc)
+      .groupBy(input_file_name().as("partition_file"))
+      .agg(count(lit(1)).as("rows"))
+      .as[(String, Long)].collect().toMap
+
+    val p = new Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(f => f.getPath.getName.endsWith(".parquet"))
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val rowsOut = files.toSeq.map { f =>
+      val rows = perFile.collect { case (k, v) if k.endsWith(f.getPath.getName) => v }.sum
+      MetaRow(runId, stage, f.getPath.getName, rows, f.getLen, fingerprint, wallMs, now)
+    }
+    val metaDf = spark.createDataFrame(rowsOut)
+    metaDf.write.mode("append").parquet(s"${catalog.location(StageMetaDir)}")
+  }
+
+  def read(spark: SparkSession, catalog: ParquetCatalog): DataFrame =
+    spark.read.parquet(catalog.location(StageMetaDir))
+
+  /** Latest recorded fingerprint for a stage, if any. */
+  def lastFingerprint(spark: SparkSession, catalog: ParquetCatalog, stage: String): Option[String] = {
+    val p = new Path(catalog.location(StageMetaDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val rows = read(spark, catalog)
+      .where(col("stage") === stage)
+      .orderBy(col("ts").desc)
+      .select("input_fingerprint")
+      .limit(1).collect()
+    rows.headOption.map(_.getString(0))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.Path
+
+import graft.conf.DedupConfig
+import graft.testutil.FixtureGen
+
+/** Checkpoint/resume semantics (SURVEY.md §5.2 property 6):
+  *  - a second run over unchanged input recomputes nothing;
+  *  - a run killed mid-pipeline resumes from the last complete stage and
+  *    produces output identical to an uninterrupted run;
+  *  - a config change invalidates everything.
+  */
+class ResumeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val cfg = DedupConfig(maxBandSize = 25)
+  private lazy val corpus = spark.createDataFrame(FixtureGen.corpus(400, 7L))
+    .select("repo", "path", "commit", "lang", "content")
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-resume").toString
+
+  test("full rerun over unchanged input computes zero stages") {
+    val dir = freshDir()
+    val first = Dedup.run(spark, corpus, dir, cfg, inputId = "fixture400")
+    assert(first.computed === Seq("t1", "signatures", "bands", "candidate_pairs",
+      "verified_pairs", "clusters", "cluster_stats"))
+    val second = Dedup.run(spark, corpus, dir, cfg, inputId = "fixture400")
+    assert(second.computed.isEmpty, s"recomputed: ${second.computed}")
+    assert(second.clusters.as[(Long, Long)].collect().toMap ===
+      first.clusters.as[(Long, Long)].collect().toMap)
+  }
+
+  test("kill after 'bands' resumes exactly the remaining stages with identical output") {
+    val dirA = freshDir(); val dirB = freshDir()
+    // uninterrupted reference run
+    val ref = Dedup.run(spark, corpus, dirA, cfg, inputId = "fixture400")
+    // partial run (simulated kill after bands), then resume
+    val partial = Dedup.run(spark, corpus, dirB, cfg, inputId = "fixture400", stopAfter = "bands")
+    assert(partial.computed === Seq("t1", "signatures", "bands"))
+    val resumed = Dedup.run(spark, corpus, dirB, cfg, inputId = "fixture400")
+    assert(resumed.computed === Seq("candidate_pairs", "verified_pairs", "clusters", "cluster_stats"))
+    assert(resumed.clusters.as[(Long, Long)].collect().toMap ===
+      ref.clusters.as[(Long, Long)].collect().toMap)
+  }
+
+  test("incomplete stage write (no _SUCCESS) is recomputed") {
+    val dir = freshDir()
+    Dedup.run(spark, corpus, dir, cfg, inputId = "fixture400", stopAfter = "signatures")
+    // corrupt: drop the _SUCCESS marker of signatures
+    val p = new Path(s"$dir/signatures/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    val resumed = Dedup.run(spark, corpus, dir, cfg, inputId = "fixture400", stopAfter = "signatures")
+    assert(resumed.computed === Seq("signatures"))
+  }
+
+  test("config change invalidates the chain") {
+    val dir = freshDir()
+    Dedup.run(spark, corpus, dir, cfg, inputId = "fixture400")
+    val changed = Dedup.run(spark, corpus, dir, cfg.copy(jaccardTau = 0.8), inputId = "fixture400")
+    assert(changed.computed.nonEmpty)
+    assert(changed.computed.head === "t1") // whole chain fingerprint shifts
+  }
+
+  test("per-partition lineage rows exist with honest row counts") {
+    val dir = freshDir()
+    Dedup.run(spark, corpus, dir, cfg, inputId = "fixture400")
+    val meta = io.StageMeta.read(spark, new io.ParquetCatalog(dir))
+    val sigRows = meta.where($"stage" === "signatures")
+      .agg(org.apache.spark.sql.functions.sum("rows")).as[Long].head()
+    assert(sigRows === 400L)
+    val stages = meta.select("stage").distinct().as[String].collect().toSet
+    assert(stages.contains("clusters") && stages.contains("candidate_pairs"))
+  }
+}

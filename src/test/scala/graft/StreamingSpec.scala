@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.conf.DedupConfig
+import graft.streaming.IncrementalDedup
+import graft.testutil.FixtureGen
+
+/** Incremental mode must converge to the batch pipeline's answer: feeding
+  * the corpus in K batches yields the same verified LSH+exact pair set and
+  * the same clusters as one batch run (suffix pass excluded — it is
+  * documented as periodic-full-only).
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val cfg = DedupConfig.default
+  private lazy val corpus = FixtureGen.corpus(600, 11L)
+
+  test("3 incremental batches == one batch run (pairs and clusters)") {
+    val stateDir = Files.createTempDirectory("graft-stream").toString
+    val parts = corpus.grouped((corpus.size + 2) / 3).toSeq
+    parts.foreach { chunk =>
+      IncrementalDedup.processBatch(spark,
+        spark.createDataFrame(chunk).select("repo", "path", "commit", "lang", "content"),
+        stateDir, cfg)
+    }
+
+    val t1 = ingest.Ingest.ingest(
+      spark.createDataFrame(corpus).select("repo", "path", "commit", "lang", "content"))
+    val batch = DedupPipeline.run(spark, t1, cfg, withSuffixPass = false)
+
+    val incPairs = new io.ParquetCatalog(stateDir).read(spark, "pairs")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val batchPairs = batch.verifiedPairs.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(incPairs === batchPairs,
+      s"extra=${(incPairs -- batchPairs).take(5)} missing=${(batchPairs -- incPairs).take(5)}")
+
+    val incClusters = IncrementalDedup.clusters(spark, stateDir)
+      .as[(Long, Long)].collect().toMap
+    val batchClusters = batch.clusters.as[(Long, Long)].collect().toMap
+    assert(incClusters === batchClusters)
+  }
+
+  test("streaming query over a parquet file stream drives the same state") {
+    val stateDir = Files.createTempDirectory("graft-stream2").toString
+    val inDir = Files.createTempDirectory("graft-stream-in").toString
+    val df = spark.createDataFrame(corpus.take(200))
+      .select("repo", "path", "commit", "lang", "content")
+    df.coalesce(1).write.mode("append").parquet(inDir)
+
+    val q = IncrementalDedup.startStream(spark, inDir, df.schema, stateDir, cfg)
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val docs = new io.ParquetCatalog(stateDir).read(spark, "docs").count()
+    assert(docs === 200L)
+  }
+}
