@@ -72,7 +72,12 @@ object Dedup {
     val t1 = stage("t1")(ingest.Ingest.ingest(corpus))
     if (done("t1")) return StagedResult(computed.toSeq, t1)
 
-    val sigs = stage("signatures")(DedupPipeline.signatures(spark, t1, cfg))
+    // LSH and the suffix pass operate on sha-distinct representatives only
+    // (see DedupPipeline.run scaladoc); exact-star edges reconnect members.
+    val t1d = stage("t1_distinct")(DedupPipeline.distinctByContent(t1))
+    if (done("t1_distinct")) return StagedResult(computed.toSeq, t1d)
+
+    val sigs = stage("signatures")(DedupPipeline.signatures(spark, t1d, cfg))
     if (done("signatures")) return StagedResult(computed.toSeq, sigs)
 
     val bands = stage("bands")(lsh.Banding.bandRows(sigs, cfg))
@@ -82,7 +87,7 @@ object Dedup {
       val (lshPairs, stopBands) = lsh.CandidatePairs.generate(spark, bands, cfg)
       cat.write(stopBands, "stop_bands") // small side table, logged with pairs
       val exact = lsh.CandidatePairs.exactPairs(t1)
-      val sfx = suffix.SuffixPass.containmentPairs(spark, t1, cfg).select("a", "b", "src")
+      val sfx = suffix.SuffixPass.containmentPairs(spark, t1d, cfg).select("a", "b", "src")
       lshPairs.unionByName(exact).unionByName(sfx)
         .groupBy("a", "b").agg(min("src").as("src"))
     }
@@ -99,8 +104,10 @@ object Dedup {
     if (done("verified_pairs")) return StagedResult(computed.toSeq, verified)
 
     val clusters = stage("clusters") {
-      val mapping = cc.ConnectedComponents.run(spark, verified.select("a", "b"))
-      cc.ConnectedComponents.assignAll(t1, mapping)
+      // rep-only CC + pendant-member attach (see DedupPipeline.run)
+      val repEdges = verified.where(col("src") =!= "exact").select("a", "b")
+      val repMapping = cc.ConnectedComponents.run(spark, repEdges)
+      DedupPipeline.attachMembers(t1, repMapping)
     }
     if (done("clusters")) return StagedResult(computed.toSeq, clusters)
 

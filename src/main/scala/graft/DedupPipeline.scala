@@ -55,16 +55,31 @@ object DedupPipeline {
       .toDF("doc_id", "shingles", "n_shingles")
   }
 
-  /** Assemble the full pipeline lazily from a T1 docs table. */
-  def run(spark: SparkSession, t1: DataFrame, cfg: DedupConfig = DedupConfig.default,
+  /** Assemble the full pipeline lazily from a T1 docs table.
+    *
+    * `t1` and `signatures` are referenced by several downstream stages
+    * (bands, both verify joins, exact pairs, suffix pass, final assign) —
+    * persist them so the expensive kernel runs once per action graph. The
+    * spark-submit path ([[Dedup]]) gets the same effect by checkpointing
+    * every stage to a table and reading it back.
+    */
+  def run(spark: SparkSession, t1in: DataFrame, cfg: DedupConfig = DedupConfig.default,
       withSuffixPass: Boolean = true): Result = {
-    val sigs = signatures(spark, t1, cfg)
+    val t1 = t1in.persist()
+    // LSH/suffix run over sha-distinct docs only (one representative per
+    // identical content): identical docs have identical signatures, so
+    // their pairs are fully implied by the exact-star edges — and at
+    // 10^12-file scale the identical-content mass (empty files, generated
+    // code) is the single biggest pair-explosion source. Cluster output is
+    // unchanged: rep↔member exact edges glue the components together.
+    val t1Distinct = distinctByContent(t1).persist()
+    val sigs = signatures(spark, t1Distinct, cfg).persist()
     val bands = lsh.Banding.bandRows(sigs, cfg)
     val (lshPairs, stopBands) = lsh.CandidatePairs.generate(spark, bands, cfg)
     val exact = lsh.CandidatePairs.exactPairs(t1)
     val suffix =
       if (withSuffixPass)
-        suffix_.containmentPairs(spark, t1, cfg)
+        suffix_.containmentPairs(spark, t1Distinct, cfg)
           .select(col("a"), col("b"), col("src"))
       else spark.emptyDataFrame
 
@@ -83,8 +98,14 @@ object DedupPipeline {
       .groupBy("a", "b")
       .agg(min("src").as("src"), max("est_jaccard").as("est_jaccard"))
 
-    val mapping = cc.ConnectedComponents.run(spark, verified.select("a", "b"))
-    val clusters = cc.ConnectedComponents.assignAll(t1, mapping)
+    // Exact-dup members are pendant vertices: LSH/suffix pairs only touch
+    // sha-reps, so a member's sole edge is (rep, member). CC therefore runs
+    // on the rep-only edge set and members are attached afterward through
+    // the sha→rep mapping — at 10^12-file scale this keeps the iterative
+    // CC graph free of the identical-content mass entirely.
+    val repEdges = verified.where(col("src") =!= "exact").select("a", "b")
+    val repMapping = cc.ConnectedComponents.run(spark, repEdges)
+    val clusters = attachMembers(t1, repMapping)
 
     val stats = clusters.join(t1.select("doc_id", "repo"), "doc_id")
       .groupBy("cluster_id")
@@ -102,4 +123,23 @@ object DedupPipeline {
   }
 
   private val suffix_ = graft.suffix.SuffixPass
+
+  /** One representative row (min doc_id) per distinct content_sha256. */
+  def distinctByContent(t1: DataFrame): DataFrame = {
+    val reps = t1.groupBy("content_sha256").agg(min("doc_id").as("doc_id"))
+    t1.join(reps, Seq("content_sha256", "doc_id"))
+  }
+
+  /** Full cluster assignment from a rep-only CC mapping: every doc routes
+    * through its sha-rep; reps without an LSH/suffix edge head their own
+    * (possibly multi-member) exact cluster.
+    */
+  def attachMembers(t1: DataFrame, repMapping: DataFrame): DataFrame = {
+    val reps = t1.groupBy("content_sha256").agg(min("doc_id").as("rep"))
+    val docRep = t1.select(col("doc_id"), col("content_sha256"))
+      .join(reps, "content_sha256")
+    docRep
+      .join(repMapping.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+  }
 }

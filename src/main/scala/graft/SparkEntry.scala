@@ -41,6 +41,27 @@ object SparkEntry {
     "dedup_candidate_pairs" -> ((s, d) =>
       pipeline(s, d).candidatePairs.orderBy("a", "b")),
 
+    // ---- corpus hygiene filter (SURVEY §2 row 7, Q/sql) ----
+    "corpus_filter" -> ((s, d) =>
+      Ingest.corpusFilter(docsT1(s, d), langs = Seq("en"), minBytes = 100, maxBytes = 400)
+        .select("path").orderBy("path")),
+
+    // ---- exact Jaccard on shingle arrays (row 25) + capped members (row 36) ----
+    "dedup_exact_jaccard" -> ((s, d) => {
+      val t1d = DedupPipeline.distinctByContent(docsT1(s, d))
+      val sh = DedupPipeline.shingled(s, t1d, cfg)
+      val res = pipeline(s, d)
+      verify.Verifier.exactJaccard(
+        res.candidatePairs.where(col("src").isin("minhash", "simhash")), sh)
+        .orderBy("a", "b")
+    }),
+    "cluster_members" -> ((s, d) =>
+      pipeline(s, d).clusters
+        .groupBy("cluster_id")
+        .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 20).as("sample_members"),
+          count(lit(1)).as("size"))
+        .orderBy("cluster_id")),
+
     // ---- ingest / exact dedup (Q/sql) ----
     "doc_sha256" -> ((s, d) =>
       s.read.parquet(s"$d/documents.parquet")
@@ -166,6 +187,8 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "corpus_filter" ->
+      "SELECT 'doc/' || doc_id AS path FROM documents WHERE lang = 'en' AND length(text) BETWEEN 100 AND 400 ORDER BY path",
     "doc_sha256" ->
       "SELECT doc_id, sha256(text) AS sha, length(text)::BIGINT AS len_chars FROM documents ORDER BY doc_id",
     "exact_dup_groups" ->

@@ -16,10 +16,17 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges DataFrame with long columns `a`, `b` (undirected).
+    * @param maxLocalEdges size-aware hybrid cutoff: once the star-contracted
+    *        edge set fits comfortably on the driver (it shrinks
+    *        geometrically per round), finish with a local union-find
+    *        instead of paying O(log n) more distributed rounds of pure
+    *        scheduling latency. 5M edges ≈ 80 MB — trivial for any real
+    *        driver; set 0 to force the fully-distributed path (tests do).
     * @return mapping `doc_id, cluster_id` for every vertex appearing in an
     *         edge; cluster_id = min doc_id of the component.
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
+      maxLocalEdges: Long = 5000000L): DataFrame = {
     // Orient big → small; drop self-loops.
     var e = edges
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
@@ -30,7 +37,7 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     var prev = checksum(e)
-    while (!converged && iter < maxIter) {
+    while (!converged && iter < maxIter && prev._1 > maxLocalEdges) {
       // Large-star: for each u over its full neighborhood Γ(u),
       // m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
       val bi = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -60,10 +67,42 @@ object ConnectedComponents {
       iter += 1
     }
 
+    if (!converged && prev._1 <= maxLocalEdges) return localFinish(spark, e)
+
     // At the fixpoint edges form stars (child → component min).
     e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .union(e.select(col("v").as("doc_id"), col("v").as("cluster_id")))
       .distinct()
+  }
+
+  /** Driver-side union-find over a star-contracted edge set (same
+    * components as the input graph — star rounds only rewire within
+    * components and every non-root node keeps an edge until convergence).
+    */
+  private def localFinish(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = e.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    // normalize roots to component minima
+    val nodes = edges.iterator.flatMap(t => Iterator(t._1, t._2)).toArray.distinct
+    val minOf = new java.util.HashMap[Long, Long]()
+    nodes.foreach { n =>
+      val r = find(n)
+      val cur = minOf.getOrDefault(r, Long.MaxValue)
+      if (n < cur) minOf.put(r, n)
+    }
+    nodes.toSeq.map(n => (n, minOf.get(find(n)))).toDF("doc_id", "cluster_id")
   }
 
   /** Attach cluster ids to every doc; vertices not in any edge are singleton

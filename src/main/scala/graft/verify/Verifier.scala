@@ -25,7 +25,7 @@ object Verifier {
       .join(sa, "a")
       .join(sb, "b")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), b => b))
+        graft.functions.LongArrayEqualCount.equalLaneCount(col("mh_a"), col("mh_b"))
           / lit(cfg.numPerms.toDouble))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("est_jaccard") >= cfg.jaccardTau || col("hamming") <= cfg.hammingMax)

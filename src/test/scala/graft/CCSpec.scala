@@ -36,9 +36,14 @@ class CCSpec extends AnyFunSuite with SparkTestBase {
       for (_ <- 1 to 50) edges += ((hub, rnd.nextLong(1L << 40)))
 
       val expect = unionFind(n, edges.toSeq)
-      val got = ConnectedComponents.run(spark, edges.toSeq.toDF("a", "b"))
+      // fully-distributed path (maxLocalEdges = 0)
+      val dist = ConnectedComponents.run(spark, edges.toSeq.toDF("a", "b"), maxLocalEdges = 0L)
         .as[(Long, Long)].collect().toMap
-      assert(got === expect, s"trial $trial")
+      assert(dist === expect, s"trial $trial (distributed)")
+      // hybrid path (driver union-find finish)
+      val hybrid = ConnectedComponents.run(spark, edges.toSeq.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(hybrid === expect, s"trial $trial (hybrid)")
     }
   }
 

@@ -40,10 +40,11 @@ class EndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(got === oracle.sha256)
   }
 
-  test("signatures are bitwise equal to the oracle") {
+  test("signatures are bitwise equal to the oracle (sha-distinct reps)") {
     val got = result.signatures.select("doc_id", "minhash", "simhash", "n_shingles")
       .as[(Long, Array[Long], Long, Int)].collect()
-    assert(got.length === nDocs)
+    val nReps = oracle.sha256.values.toSet.size
+    assert(got.length === nReps)
     got.foreach { case (id, mh, sh, n) =>
       val o = oracle.signatures(id)
       assert(n === o.n_shingles, s"n_shingles doc $id")
@@ -102,8 +103,12 @@ class EndToEndSpec extends AnyFunSuite with SparkTestBase {
     val boilerPairs = got.filter { case (a, b) =>
       fam(a).family == "boiler" && fam(b).family == "boiler"
     }
-    // boiler docs have unique tails; any pair among them would be header-driven
-    assert(boilerPairs.length <= got.length / 50,
-      s"${boilerPairs.length} boilerplate pairs of ${got.length}")
+    // boiler docs have unique tails: header-driven pairing would be
+    // QUADRATIC in the per-header group size (~C(n/3, 2) ≈ 850+ here);
+    // a handful of borderline τ-crossers is legitimate (they exist in the
+    // oracle too — set equality is asserted above).
+    val nBoiler = fam.values.count(_.family == "boiler")
+    assert(boilerPairs.length <= nBoiler / 4,
+      s"${boilerPairs.length} boilerplate pairs for $nBoiler boiler docs")
   }
 }

@@ -27,8 +27,8 @@ class ResumeSpec extends AnyFunSuite with SparkTestBase {
   test("full rerun over unchanged input computes zero stages") {
     val dir = freshDir()
     val first = Dedup.run(spark, corpus, dir, cfg, inputId = "fixture400")
-    assert(first.computed === Seq("t1", "signatures", "bands", "candidate_pairs",
-      "verified_pairs", "clusters", "cluster_stats"))
+    assert(first.computed === Seq("t1", "t1_distinct", "signatures", "bands",
+      "candidate_pairs", "verified_pairs", "clusters", "cluster_stats"))
     val second = Dedup.run(spark, corpus, dir, cfg, inputId = "fixture400")
     assert(second.computed.isEmpty, s"recomputed: ${second.computed}")
     assert(second.clusters.as[(Long, Long)].collect().toMap ===
@@ -41,7 +41,7 @@ class ResumeSpec extends AnyFunSuite with SparkTestBase {
     val ref = Dedup.run(spark, corpus, dirA, cfg, inputId = "fixture400")
     // partial run (simulated kill after bands), then resume
     val partial = Dedup.run(spark, corpus, dirB, cfg, inputId = "fixture400", stopAfter = "bands")
-    assert(partial.computed === Seq("t1", "signatures", "bands"))
+    assert(partial.computed === Seq("t1", "t1_distinct", "signatures", "bands"))
     val resumed = Dedup.run(spark, corpus, dirB, cfg, inputId = "fixture400")
     assert(resumed.computed === Seq("candidate_pairs", "verified_pairs", "clusters", "cluster_stats"))
     assert(resumed.clusters.as[(Long, Long)].collect().toMap ===
@@ -72,7 +72,8 @@ class ResumeSpec extends AnyFunSuite with SparkTestBase {
     val meta = io.StageMeta.read(spark, new io.ParquetCatalog(dir))
     val sigRows = meta.where($"stage" === "signatures")
       .agg(org.apache.spark.sql.functions.sum("rows")).as[Long].head()
-    assert(sigRows === 400L)
+    val nReps = corpus.select("content").distinct().count()
+    assert(sigRows === nReps) // signatures are per sha-distinct representative
     val stages = meta.select("stage").distinct().as[String].collect().toSet
     assert(stages.contains("clusters") && stages.contains("candidate_pairs"))
   }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extra.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def naiveTopK(k: Int, nQueries: Int): Map[Long, Seq[Long]] = {
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    all.take(nQueries).map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(k).map(_._1).toSeq
+    }.toMap
+  }
+
+  test("brute-force top-k matches a naive local computation") {
+    val got = Similarity.bruteForceTopK(spark, sfDir, k = 5, nQueries = 10)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).toSeq }
+    val expect = naiveTopK(5, 10)
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (q, ns) => assert(ns === expect(q), s"query $q") }
+  }
+
+  test("LSH top-k finds a decent fraction of the true neighbors (recall sanity)") {
+    val brute = Similarity.bruteForceTopK(spark, sfDir, k = 5, nQueries = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(spark, sfDir, k = 5, nQueries = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    // random-hyperplane LSH with 4x4-bit tables is coarse; it must still
+    // beat random pairing by a wide margin
+    assert(recall >= 0.3, s"LSH recall vs brute force: $recall")
+  }
+
+  test("profile: dims constant, norms positive") {
+    val p = Similarity.profile(spark, sfDir).as[(Long, Long, Double)].collect()
+    assert(p.map(_._2).distinct.length === 1)
+    assert(p.forall(_._3 > 0))
+  }
+}

@@ -54,11 +54,18 @@ object ReferenceOracle {
       sigs(id) = Signature(id, SignatureKernel.minhash(sh, coefs), SignatureKernel.simhash(sh), sh.length)
     }
 
+    // LSH/suffix run over sha-distinct representatives only (min doc_id per
+    // content hash) — mirrors DedupPipeline.distinctByContent; exact-star
+    // edges reconnect the members, so clusters are unaffected.
+    val repOf: Map[Long, Long] = ids.groupBy(sha).values
+      .flatMap { g => val m = g.min; g.map(_ -> m) }.toMap
+    val reps: Vector[Long] = ids.filter(id => repOf(id) == id)
+
     // banding: (band, band_hash) -> docs
     val buckets = mutable.Map.empty[(Int, Long), mutable.ArrayBuffer[Long]]
     val blockBits = cfg.simhashBlockBits
     val mask = (1L << blockBits) - 1
-    for (id <- ids; s = sigs(id) if s.n_shingles > 0) {
+    for (id <- reps; s = sigs(id) if s.n_shingles > 0) {
       var b = 0
       while (b < cfg.bands) {
         val h = Hashing.sparkXxhash64(b, s.minhash, b * cfg.rowsPerBand, (b + 1) * cfg.rowsPerBand)
@@ -103,7 +110,7 @@ object ReferenceOracle {
     // doc-frequency is in [2, suffixDfMax] (same scoping rule as the
     // pipeline; sharing a minLen-gram ⟺ sharing a substring ≥ minLen).
     val fpIndex = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
-    for (id <- ids if toks(id).length >= cfg.suffixMinLen) {
+    for (id <- reps if toks(id).length >= cfg.suffixMinLen) {
       SuffixPass.grams(toks(id), cfg.suffixMinLen).foreach { fp =>
         fpIndex.getOrElseUpdate(fp, mutable.ArrayBuffer.empty) += id
       }
