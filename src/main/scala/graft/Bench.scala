@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  /** documents.parquet mapped to T1, optionally inflated ×mult. */
-  def benchT1(spark: SparkSession, sfDir: String, mult: Int): DataFrame = {
+  /** documents.parquet mapped to T1, optionally inflated ×mult.
+    *
+    * Two inflation shapes (SPARK_GRAFT_DUPMODE):
+    *  - "mixed" (default): per base doc, replica 0 is the original, every
+    *    5th replica is a near-dup (tiny suffix), the rest get a unique
+    *    hash-derived second half (Jaccard ≈ 0.33 ≪ τ). ≈25% duplicate mass
+    *    in ~5-doc clusters — the realistic web-corpus shape.
+    *  - "clique": every replica is a near-dup of the base → `mult`-cliques,
+    *    quadratic pair mass. Adversarial stress test for pair generation.
+    */
+  def benchT1(spark: SparkSession, sfDir: String, mult: Int, dupMode: String = "mixed"): DataFrame = {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val corpus =
       if (mult <= 1) {
@@ -27,15 +36,24 @@ object Bench {
           concat(lit("doc/"), col("doc_id")).as("path"), lit("v0").as("commit"),
           col("lang"), col("text").as("content"))
       } else {
-        base.select(col("doc_id"), col("source"), col("lang"), col("text"),
+        val rep = base.select(col("doc_id"), col("source"), col("lang"), col("text"),
           explode(sequence(lit(0), lit(mult - 1))).as("rep"))
-          .select(
-            concat(col("source"), lit("_"), col("rep")).as("repo"),
-            concat(lit("doc/"), col("doc_id"), lit("/"), col("rep")).as("path"),
-            lit("v0").as("commit"), col("lang"),
-            // replicas differ by a short suffix: near-dup clusters of size
-            // `mult` — a heavy, realistic pair-generation load
-            concat(col("text"), lit(" rep"), col("rep")).as("content"))
+        val content =
+          if (dupMode == "clique") concat(col("text"), lit(" rep"), col("rep"))
+          else {
+            // unique junk half: one base36 token per original token
+            val ntok = size(split(col("text"), "\\s+"))
+            val junk = concat_ws(" ", transform(sequence(lit(1), ntok),
+              i => conv(abs(xxhash64(col("doc_id"), col("rep"), i)), 10, 36)))
+            when(col("rep") === 0, col("text"))
+              .when(pmod(col("rep"), lit(5)) === 1, concat(col("text"), lit(" nd"), col("rep")))
+              .otherwise(concat_ws(" ", col("text"), junk))
+          }
+        rep.select(
+          concat(col("source"), lit("_"), col("rep")).as("repo"),
+          concat(lit("doc/"), col("doc_id"), lit("/"), col("rep")).as("path"),
+          lit("v0").as("commit"), col("lang"),
+          content.as("content"))
       }
     ingest.Ingest.ingest(corpus)
   }
@@ -47,12 +65,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val t1 = benchT1(spark, sfDir, mult).persist()
+    // The source is one small parquet file → one input partition; without
+    // an explicit repartition every narrow stage (including the signature
+    // kernel) would run as a single task regardless of cores.
+    val cores = cpus.toInt
+    val dupMode = sys.env.getOrElse("SPARK_GRAFT_DUPMODE", "mixed")
+    val t1 = benchT1(spark, sfDir, mult, dupMode).repartition(cores * 2).persist()
     val nDocs = t1.count()
 
     def time(f: => Long): (Double, Long) = {
@@ -88,7 +113,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val e2e = results.toMap.getOrElse("dedup_end_to_end", -1.0)
     val fps = if (e2e > 0) nDocs / e2e else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"mult":$mult,"n_docs":$nDocs,"files_per_sec":$fps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"mult":$mult,"dup_mode":"$dupMode","n_docs":$nDocs,"files_per_sec":$fps}""")
     spark.stop()
   }
 }

@@ -84,7 +84,9 @@ object Dedup {
     if (done("bands")) return StagedResult(computed.toSeq, bands)
 
     val pairs = stage("candidate_pairs") {
-      val (lshPairs, stopBands) = lsh.CandidatePairs.generate(spark, bands, cfg)
+      val (lshPairs, stopBands) =
+        if (cfg.pairGenJoin) lsh.CandidatePairs.generateJoin(spark, bands, cfg)
+        else lsh.CandidatePairs.generate(spark, bands, cfg)
       cat.write(stopBands, "stop_bands") // small side table, logged with pairs
       val exact = lsh.CandidatePairs.exactPairs(t1)
       val sfx = suffix.SuffixPass.containmentPairs(spark, t1d, cfg).select("a", "b", "src")
@@ -133,6 +135,8 @@ object Dedup {
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName("graft-dedup")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -148,7 +152,11 @@ object Dedup {
         raw.select(col("source").as("repo"),
           concat(lit("doc/"), col("doc_id")).as("path"), lit("v0").as("commit"),
           col("lang"), col("text").as("content"))
-    val res = run(spark, corpus, workDir, inputId = inputIdentity(spark, input))
+    // Small inputs arrive as a handful of parquet files; spread them so the
+    // ingest/signature kernels parallelize (no-op cost at real scale, where
+    // the scan already yields thousands of partitions).
+    val spread = corpus.repartition(spark.sparkContext.defaultParallelism * 2)
+    val res = run(spark, spread, workDir, inputId = inputIdentity(spark, input))
     println(s"[dedup] computed stages: ${res.computed.mkString(", ")}; " +
       s"clusters=${res.clusters.count()}")
     spark.stop()

@@ -75,7 +75,9 @@ object DedupPipeline {
     val t1Distinct = distinctByContent(t1).persist()
     val sigs = signatures(spark, t1Distinct, cfg).persist()
     val bands = lsh.Banding.bandRows(sigs, cfg)
-    val (lshPairs, stopBands) = lsh.CandidatePairs.generate(spark, bands, cfg)
+    val (lshPairs, stopBands) =
+      if (cfg.pairGenJoin) lsh.CandidatePairs.generateJoin(spark, bands, cfg)
+      else lsh.CandidatePairs.generate(spark, bands, cfg)
     val exact = lsh.CandidatePairs.exactPairs(t1)
     val suffix =
       if (withSuffixPass)

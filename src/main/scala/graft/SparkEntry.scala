@@ -20,6 +20,9 @@ object SparkEntry {
 
   private def docsT1(spark: SparkSession, sfDir: String): DataFrame =
     Ingest.ingest(Ingest.corpusFromDocuments(spark, sfDir))
+      // documents.parquet is a single small file = one scan partition;
+      // spread so the typed kernels parallelize
+      .repartition(spark.sparkContext.defaultParallelism * 2)
 
   private def pipeline(spark: SparkSession, sfDir: String): DedupPipeline.Result =
     DedupPipeline.run(spark, docsT1(spark, sfDir), cfg)

@@ -38,6 +38,10 @@ final case class DedupConfig(
     suffixDfMax: Int = 64,
     seed: Long = 42L,
     version: String = "v1",
+    // Execution-strategy knob (does NOT affect results, hence not part of
+    // the fingerprint): true = Tungsten self-join pair generation; false =
+    // typed groupByKey/flatMapGroups. Same emitted pair set (SaltingSpec).
+    pairGenJoin: Boolean = true,
 ) {
   require(numPerms == bands * rowsPerBand, "numPerms must equal bands*rowsPerBand")
   require(64 % simhashBlocks == 0, "simhashBlocks must divide 64")

@@ -95,6 +95,55 @@ object CandidatePairs {
     (pairs, stop)
   }
 
+  /** Tungsten variant of [[generate]]: the identical salted triangle
+    * scheme expressed as a self equi-join on (band, band_hash, i, j)
+    * instead of groupByKey/flatMapGroups. Same emitted pair SET (asserted
+    * by SaltingSpec); radically lower allocation rate — the typed path
+    * materializes one JVM object per replicated band row and per emitted
+    * pair, which made pair generation GC-bound and scale NEGATIVELY from
+    * 8→32 local cores. SMJ buffers one bounded (≤ 2·maxBandSize) key group
+    * at a time in UnsafeRow form.
+    */
+  def generateJoin(spark: SparkSession, bandRows: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
+    val counts = bandRows.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
+    val stop = counts.where(col("cnt") > cfg.stopBandSize)
+    val hot = counts
+      .where(col("cnt") > cfg.maxBandSize && col("cnt") <= cfg.stopBandSize)
+      .select(col("band"), col("band_hash"),
+        ceil(col("cnt") / cfg.maxBandSize.toDouble).cast("int").as("s"))
+
+    val salted = bandRows
+      .join(broadcast(stop.select("band", "band_hash")), Seq("band", "band_hash"), "left_anti")
+      .join(broadcast(hot), Seq("band", "band_hash"), "left")
+      .na.fill(Map("s" -> 1))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), col("s")).cast("int"))
+
+    val exploded = salted
+      .select(col("band"), col("band_hash"), col("doc_id"), col("salt"),
+        explode(transform(sequence(lit(0), col("s") - 1),
+          x => struct(least(x, col("salt")).as("i"), greatest(x, col("salt")).as("j")))).as("bp"))
+      .select(col("band"), col("band_hash"), col("bp.i").as("i"), col("bp.j").as("j"),
+        col("doc_id"), col("salt"))
+
+    val l = exploded.select(col("band").as("band_l"), col("band_hash").as("bh_l"),
+      col("i").as("i_l"), col("j").as("j_l"), col("doc_id").as("dl"), col("salt").as("sl"))
+    val r = exploded.select(col("band").as("band_r"), col("band_hash").as("bh_r"),
+      col("i").as("i_r"), col("j").as("j_r"), col("doc_id").as("dr"), col("salt").as("sr"))
+    val joined = l.join(r,
+      col("bh_l") === col("bh_r") && col("i_l") === col("i_r") &&
+        col("j_l") === col("j_r") && col("band_l") === col("band_r") &&
+        col("sl") === col("i_l") && col("sr") === col("j_r") &&
+        (col("i_l") =!= col("j_l") || col("dl") < col("dr")) &&
+        col("dl") =!= col("dr"))
+    val pairs = joined.select(
+      least(col("dl"), col("dr")).as("a"),
+      greatest(col("dl"), col("dr")).as("b"),
+      when(col("band_l") < cfg.bands, "minhash").otherwise("simhash").as("src"))
+      .groupBy("a", "b").agg(min("src").as("src"))
+
+    (pairs, stop)
+  }
+
   /** Exact-duplicate star pairs by content sha256 (row 20). Deliberately NOT
     * `collect_list` (a 10^12-file corpus has billion-row identical-content
     * groups — empty files); group → min rep → join back keeps every task

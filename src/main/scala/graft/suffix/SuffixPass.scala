@@ -36,11 +36,28 @@ object SuffixPass {
 
   /** Distinct hashes of every L-token gram of the stream. */
   def grams(tokens: Array[Long], L: Int): Array[Long] = {
+    // O(n) polynomial rolling hash over the token-hash sequence — the
+    // xxhash64 chain would cost O(n·L), 50 hash rounds per position, which
+    // dominated the suffix stage. Hash collisions only ever ADD candidates
+    // (the suffix-array verification rejects them); the oracle shares this
+    // exact function, so fixture equality is by construction.
     val n = tokens.length - L + 1
     if (n <= 0) return Array.emptyLongArray
-    val set = new java.util.TreeSet[java.lang.Long]()
+    val B = 0x9E3779B97F4A7C15L // odd multiplier; arithmetic mod 2^64
+    var bl = 1L // becomes B^(L-1)
     var i = 0
-    while (i < n) { set.add(Hashing.sparkXxhash64(L, tokens, i, i + L)); i += 1 }
+    while (i < L - 1) { bl *= B; i += 1 }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var h = 0L
+    i = 0
+    while (i < L) { h = h * B + tokens(i); i += 1 }
+    set.add(h)
+    i = 1
+    while (i < n) {
+      h = (h - tokens(i - 1) * bl) * B + tokens(i + L - 1)
+      set.add(h)
+      i += 1
+    }
     val out = new Array[Long](set.size)
     val it = set.iterator()
     i = 0

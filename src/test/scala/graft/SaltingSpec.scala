@@ -31,6 +31,15 @@ class SaltingSpec extends AnyFunSuite with SparkTestBase {
     assert(extreme === base, "maxBandSize=3 diverged")
   }
 
+  test("join-based and groupBy-based pair generation emit the identical set") {
+    for (mbs <- Seq(3, 25, 1000000)) {
+      val grouped = pairSet(DedupConfig(maxBandSize = mbs, pairGenJoin = false), 0)
+      val joined = pairSet(DedupConfig(maxBandSize = mbs, pairGenJoin = true), 0)
+      assert(joined === grouped,
+        s"mbs=$mbs: extra=${(joined diff grouped).take(3)} missing=${(grouped diff joined).take(3)}")
+    }
+  }
+
   test("pair set invariant under input repartitioning (1, 4, 17)") {
     val cfg = DedupConfig(maxBandSize = 25)
     val p1 = pairSet(cfg, 1)

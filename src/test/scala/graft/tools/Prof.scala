@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** Scratch profiler for stage hot spots (test scope, not shipped). */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("P_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("P_CPUS", "32"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,8 +40,8 @@ object Prof {
 // appended: CC-focused profiler
 object ProfCC {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder().master(s"local[${sys.env.getOrElse("P_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("P_CPUS", "32"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val edges = spark.read.parquet("/tmp/dedup_prof2/verified_pairs").select("a", "b")
@@ -49,6 +49,82 @@ object ProfCC {
     val t0 = System.nanoTime()
     val m = graft.cc.ConnectedComponents.run(spark, edges)
     println(s"mapped=${m.count()} in ${(System.nanoTime() - t0) / 1e9}%s s")
+    spark.stop()
+  }
+}
+
+// appended: e2e stage-level profiler with a SparkListener
+object ProfE2E {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("P_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        stages.put(si.stageId, (si.name.split("\n").head.take(90), dur, si.numTasks.toLong))
+      }
+    })
+    val mult = sys.env.getOrElse("P_MULT", "20").toInt
+    val t1 = graft.Bench.benchT1(spark, "/root/testdata/sf0.1", mult)
+      .repartition(cpus.toInt * 2).persist()
+    println(s"docs=${t1.count()}")
+    val t0 = System.nanoTime()
+    val n = graft.DedupPipeline.run(spark, t1, graft.conf.DedupConfig.default).clusters.count()
+    println(f"e2e: ${(System.nanoTime() - t0) / 1e9}%.1f s clusters=$n")
+    import scala.jdk.CollectionConverters._
+    val top = stages.asScala.toSeq.sortBy(-_._2._2).take(15)
+    top.foreach { case (id, (name, dur, tasks)) => println(f"stage $id%4d ${dur / 1000.0}%7.1f s tasks=$tasks%4d  $name") }
+    spark.stop()
+  }
+}
+
+// appended: per-phase e2e decomposition
+object ProfPhases {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("P_CPUS", "32")
+    var b = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
+    sys.env.getOrElse("P_EXTRA", "").split(',').filter(_.contains('=')).foreach { kv =>
+      val Array(k, v) = kv.split('=') ; b = b.config(k, v)
+    }
+    val spark = b
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = graft.conf.DedupConfig.default
+    import org.apache.spark.sql.functions._
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"phase $name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    val mult = sys.env.getOrElse("P_MULT", "20").toInt
+    val t1 = graft.Bench.benchT1(spark, "/root/testdata/sf0.1", mult)
+      .repartition(cpus.toInt * 2).persist()
+    println(s"docs=${t1.count()}")
+    val t1d = time("t1_distinct")(graft.DedupPipeline.distinctByContent(t1).persist())
+    time("t1d count")(println(t1d.count()))
+    val sigs = graft.DedupPipeline.signatures(spark, t1d, cfg).persist()
+    time("signatures")(println(sigs.count()))
+    val bands = graft.lsh.Banding.bandRows(sigs, cfg).persist()
+    time("bands")(println(bands.count()))
+    val (lshPairs, _) = graft.lsh.CandidatePairs.generateJoin(spark, bands, cfg)
+    val lp = lshPairs.persist()
+    time("lsh_pairs_join")(println(lp.count()))
+    val sfx = graft.suffix.SuffixPass.containmentPairs(spark, t1d, cfg).persist()
+    time("suffix")(println(sfx.count()))
+    val ver = graft.verify.Verifier.verifyLshPairs(lp, sigs, cfg).persist()
+    time("verify")(println(ver.count()))
+    val edges = ver.select("a", "b").unionByName(sfx.select("a", "b")).distinct().persist()
+    time("edges")(println(edges.count()))
+    time("cc")(println(graft.cc.ConnectedComponents.run(spark, edges).count()))
     spark.stop()
   }
 }

@@ -5,15 +5,16 @@ import org.apache.spark.sql.functions._
 
 object ProfPairs {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("P_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("P_CPUS", "32"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cfg = graft.conf.DedupConfig.default
 
-    val t1 = spark.read.parquet("/tmp/dedup_prof/t1")
-    val bands = spark.read.parquet("/tmp/dedup_prof/bands")
+    val np = sys.env.getOrElse("P_CPUS", "32").toInt * 2
+    val t1 = spark.read.parquet("/tmp/dedup_prof/t1").repartition(np)
+    val bands = spark.read.parquet("/tmp/dedup_prof/bands").repartition(np)
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
