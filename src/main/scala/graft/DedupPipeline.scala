@@ -74,7 +74,9 @@ object DedupPipeline {
     // unchanged: rep↔member exact edges glue the components together.
     val t1Distinct = distinctByContent(t1).persist()
     val sigs = signatures(spark, t1Distinct, cfg).persist()
-    val bands = lsh.Banding.bandRows(sigs, cfg)
+    // bands feed two independent broadcast subtrees (stop + hot counts) and
+    // the salted join — persist so the posexplode isn't recomputed per branch
+    val bands = lsh.Banding.bandRows(sigs, cfg).persist()
     val (lshPairs, stopBands) =
       if (cfg.pairGenJoin) lsh.CandidatePairs.generateJoin(spark, bands, cfg)
       else lsh.CandidatePairs.generate(spark, bands, cfg)

@@ -128,3 +128,22 @@ object ProfPhases {
     spark.stop()
   }
 }
+
+// appended: plan inspection for pushdown/broadcast evidence
+object ProfPlans {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    def show(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"########## $name")
+      println(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+    }
+    show("q_filter_pushdown", graft.SparkEntry.queries("q_filter_pushdown")(spark, d))
+    show("q_join_agg", graft.SparkEntry.queries("q_join_agg")(spark, d))
+    show("q_topk", graft.SparkEntry.queries("q_topk")(spark, d))
+    spark.stop()
+  }
+}
