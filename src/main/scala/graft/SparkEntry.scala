@@ -92,6 +92,7 @@ object SparkEntry {
     "emb_profile" -> ((s, d) => Similarity.profile(s, d)),
     "ann_topk_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
 
     // ---- multimodal binary-column plumbing (decode stubbed; rows-only) ----
     "mm_decode" -> ((s, d) =>

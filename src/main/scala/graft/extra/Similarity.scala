@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * expressions: higher-order functions are interpreted per element — the
   * kernel versions are ~5-10× faster at sf0.1 and scale linearly.
   */
-object Similarity {
+object Similarity extends Serializable {
 
   final case class Emb(vec_id: Long, embedding: Array[Float])
   final case class Scored(query_id: Long, neighbor_id: Long, cos: Double)
@@ -128,6 +128,63 @@ object Similarity {
         SketchRow(e.vec_id, e.embedding, sk)
       }
     }
+  }
+
+  /** IVF (inverted-file) top-k — the other classic ANN scale path: a small
+    * coarse quantizer (nlist centroids, one Lloyd refinement) partitions the
+    * corpus into lists; a query scans only its `nprobe` nearest lists. At
+    * 100 TB the lists become the partitioning key of the embedding table,
+    * so a query touches nprobe/nlist of the data.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 20,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val emb = embDs(spark, sfDir)
+
+    // deterministic init: the nlist lowest vec_ids; one Lloyd step
+    val init: Array[Array[Float]] = emb.orderBy("vec_id").limit(nlist).collect().map(_.embedding)
+    def nearest(cs: Array[Array[Float]], v: Array[Float]): Int = {
+      var best = 0; var bestC = -2.0
+      var i = 0
+      while (i < cs.length) {
+        val c = cosine(cs(i), v)
+        if (c > bestC) { bestC = c; best = i }
+        i += 1
+      }
+      best
+    }
+    val refined: Array[Array[Float]] = emb
+      .map(e => (nearest(init, e.embedding), (e.embedding.map(_.toDouble), 1L)))
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .reduceGroups((x, y) => (x._1.zip(y._1).map(t => t._1 + t._2), x._2 + y._2))
+      .collect()
+      .sortBy(_._1)
+      .map { case (_, (sum, n)) => sum.map(s => (s / n).toFloat) }
+
+    val listed = emb.map(e => (e.vec_id, e.embedding, nearest(refined, e.embedding)))
+      .toDF("vec_id", "embedding", "list")
+
+    val queries = emb.orderBy("vec_id").limit(nQueries).collect()
+    val probes: Map[Long, Seq[Int]] = queries.map { q =>
+      val scored = refined.indices.map(i => (i, cosine(refined(i), q.embedding)))
+      q.vec_id -> scored.sortBy(-_._2).take(nprobe).map(_._1)
+    }.toMap
+    val probeRows = probes.toSeq.flatMap { case (qid, ls) => ls.map(l => (qid, l)) }
+      .toDF("query_id", "list")
+    val qv = queries.map(q => (q.vec_id, q.embedding)).toMap
+
+    val cands = listed.join(broadcast(probeRows), "list")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions(_.map { case (q, n, ev) => Scored(q, n, cosine(qv(q), ev)) })
+
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cands.toDF()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("query_id", "rank")
   }
 
   /** LSH candidate top-k: vectors sharing any one of `tables` sketch blocks

@@ -47,6 +47,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.3, s"LSH recall vs brute force: $recall")
   }
 
+  test("IVF top-k recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(spark, sfDir, k = 5, nQueries = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, sfDir, k = 5, nQueries = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall vs brute force: $recall")
+  }
+
   test("profile: dims constant, norms positive") {
     val p = Similarity.profile(spark, sfDir).as[(Long, Long, Double)].collect()
     assert(p.map(_._2).distinct.length === 1)
