@@ -93,6 +93,7 @@ object SparkEntry {
     "ann_topk_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "emb_dup_clusters" -> ((s, d) => Similarity.embeddingDupClusters(s, d)),
 
     // ---- multimodal binary-column plumbing (decode stubbed; rows-only) ----
     "mm_decode" -> ((s, d) =>

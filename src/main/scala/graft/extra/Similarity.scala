@@ -130,6 +130,43 @@ object Similarity extends Serializable {
     }
   }
 
+  /** Embedding-cosine near-duplicate clustering: sketch-bucket candidate
+    * pairs → exact cosine ≥ threshold → connected components. The embedding
+    * analogue of the MinHash pipeline, sharing the CC machinery; every
+    * vector gets a cluster id (singletons = self).
+    */
+  def embeddingDupClusters(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.9, nbits: Int = 16, tables: Int = 4): DataFrame = {
+    import spark.implicits._
+    val blockBits = nbits / tables
+    val mask = (1L << blockBits) - 1
+    val sk = sketch(spark, embDs(spark, sfDir), nbits)
+    val blocks = sk.toDF().select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        shiftrightunsigned(col("sketch"), t * blockBits).bitwiseAND(lit(mask))): _*)))
+      .select(col("vec_id"), col("embedding"), col("pos").as("table"), col("col").as("bucket"))
+
+    val l = blocks.select(col("table"), col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = blocks.select(col("table").as("table_r"), col("bucket").as("bucket_r"),
+      col("vec_id").as("b"), col("embedding").as("eb"))
+    val pairs = l.join(r,
+      col("table") === col("table_r") && col("bucket") === col("bucket_r") && col("a") < col("b"))
+      .select("a", "b", "ea", "eb")
+      .dropDuplicates("a", "b")
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.flatMap { case (a, b, ea, eb) =>
+        val c = cosine(ea, eb)
+        if (c >= threshold) Some((a, b)) else None
+      })
+      .toDF("a", "b")
+
+    val mapping = graft.cc.ConnectedComponents.run(spark, pairs)
+    graft.cc.ConnectedComponents.assignAll(
+      embeddings(spark, sfDir).select(col("vec_id").as("doc_id")), mapping)
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy("vec_id")
+  }
+
   /** IVF (inverted-file) top-k — the other classic ANN scale path: a small
     * coarse quantizer (nlist centroids, one Lloyd refinement) partitions the
     * corpus into lists; a query scans only its `nprobe` nearest lists. At

@@ -56,6 +56,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"IVF recall vs brute force: $recall")
   }
 
+  test("embedding dup clusters: total assignment, transitive closure holds") {
+    val got = Similarity.embeddingDupClusters(spark, sfDir, threshold = 0.5)
+      .as[(Long, Long)].collect()
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(got.length === n)
+    // cluster id must be the min member of its cluster
+    got.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min === cid, s"cluster $cid not labeled by min member")
+    }
+  }
+
   test("profile: dims constant, norms positive") {
     val p = Similarity.profile(spark, sfDir).as[(Long, Long, Double)].collect()
     assert(p.map(_._2).distinct.length === 1)
