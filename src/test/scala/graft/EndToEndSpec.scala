@@ -19,7 +19,9 @@ import graft.testutil.{FixtureGen, ReferenceOracle}
 class EndToEndSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
-  private val nDocs = 2000
+  // default 2000 keeps `sbt test` fast; the FIXTURES.md 5000-doc scale is
+  // exercised via GRAFT_E2E_DOCS=5000 (run at least once per round)
+  private val nDocs = sys.env.getOrElse("GRAFT_E2E_DOCS", "2000").toInt
   // maxBandSize lowered so fixture band groups (exact-dup groups of up to 20
   // identical signatures) genuinely exercise salting; pair/cluster output is
   // provably independent of maxBandSize (SaltingSpec).
