@@ -175,6 +175,15 @@ object SparkEntry {
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"), col("n"))
         .orderBy("status", "prio")),
+    "q_cube" -> ((s, d) =>
+      s.read.parquet(s"$d/orders.parquet")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("sum_cents"))
+        .orderBy("status", "prio")),
     "q_events_hourly" -> ((s, d) =>
       s.read.parquet(s"$d/events.parquet")
         // ts is TIMESTAMP_NTZ in the parquet: cast to session-TZ (UTC)
@@ -226,5 +235,7 @@ object SparkEntry {
       "SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, prio",
     "q_events_hourly" ->
       "SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_ts, event_type, count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_cube" ->
+      "SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, prio",
   )
 }
