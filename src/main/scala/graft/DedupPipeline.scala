@@ -128,6 +128,20 @@ object DedupPipeline {
 
   private val suffix_ = graft.suffix.SuffixPass
 
+  /** First-story / novelty detection — the reference's headline capability
+    * (Petrović et al., NAACL-HLT 2010: a document whose nearest neighbor is
+    * farther than the threshold "starts a new story"). In the batch engine
+    * that is exactly: documents with NO verified near-duplicate neighbor —
+    * one left_anti join against the verified edge endpoints. Scale shape:
+    * the endpoint set is a projection of the (already bounded) verified
+    * edge table, and left_anti plans as a shuffled hash anti-join on doc_id.
+    */
+  def firstStories(res: Result): DataFrame = {
+    val endpoints = res.verifiedPairs.select(col("a").as("doc_id"))
+      .unionByName(res.verifiedPairs.select(col("b").as("doc_id")))
+    res.t1.join(endpoints, Seq("doc_id"), "left_anti").select("doc_id")
+  }
+
   /** One representative row (min doc_id) per distinct content_sha256. */
   def distinctByContent(t1: DataFrame): DataFrame = {
     val reps = t1.groupBy("content_sha256").agg(min("doc_id").as("doc_id"))

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.conf.DedupConfig
@@ -27,6 +27,64 @@ object SparkEntry {
   private def pipeline(spark: SparkSession, sfDir: String): DedupPipeline.Result =
     DedupPipeline.run(spark, docsT1(spark, sfDir), cfg)
 
+  /** Original document id recovered from the canonical path ('doc/<id>') —
+    * lets DuckDB oracles reproduce pipeline outputs in the documents table's
+    * own id space (the engine's doc_id is xxhash64(repo,path,commit), which
+    * DuckDB cannot compute).
+    */
+  private def origId(c: Column): Column = substring(c, 5, 100).cast("long")
+
+  /** Pipeline cluster assignment relabeled into original-id space:
+    * cluster_id = min original doc_id of the component (same convention as
+    * the engine: min member id).
+    */
+  private def origClusters(res: DedupPipeline.Result): DataFrame = {
+    val m = res.t1.select(col("doc_id"), origId(col("path")).as("orig"))
+    val j = res.clusters.join(m, "doc_id")
+    val lbl = j.groupBy("cluster_id").agg(min(col("orig")).as("cl"))
+    j.join(lbl, "cluster_id").select(col("orig").as("doc_id"), col("cl").as("cluster_id"))
+  }
+
+  /** Shared DuckDB oracle fragment: the SQL-expressible twin of the dedup
+    * core (SURVEY §2 row 11's "SQL-only shingle twin") — token 5-shingles
+    * over split(lower(text), /[^a-z0-9_]+/), exact Jaccard by shingle
+    * self-join, dup edges at integer-exact 10·|∩| ≥ 7·|∪| (τ=0.7), and
+    * connected components via a recursive CTE (cluster_id = min member id).
+    * Semantics mirror DedupConfig v1 (k=5, τ=0.7); at sf0.01 the corpus'
+    * dup pairs are far from τ on both sides, so the pipeline's est-Jaccard
+    * decisions coincide with exact Jaccard and the CTE reproduces the
+    * pipeline clusters exactly.
+    */
+  private val dupCte: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS tk
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-3), i -> array_to_string(tk[i:i+4], ' '))) AS shingles
+      |  FROM toks WHERE len(tk) >= 5
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS s FROM sh
+      |), nsh AS (
+      |  SELECT doc_id, len(shingles)::BIGINT AS n FROM sh
+      |), inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |), jac AS (
+      |  SELECT a, b, i AS inter, na.n + nb.n - i AS uni
+      |  FROM inter JOIN nsh na ON na.doc_id = a JOIN nsh nb ON nb.doc_id = b
+      |), dup AS (
+      |  SELECT a, b FROM jac WHERE 10*inter >= 7*uni
+      |), edges AS (
+      |  SELECT a, b FROM dup UNION ALL SELECT b AS a, a AS b FROM dup
+      |), reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, reach.r FROM edges e JOIN reach ON reach.id = e.a
+      |), cl AS (
+      |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+      |)""".stripMargin.replaceAll("\\s+", " ")
+
   /** Flagship: top duplicate clusters over the documents corpus. */
   def entry(spark: SparkSession): DataFrame = {
     val res = pipeline(spark, "/root/testdata/sf0.001")
@@ -34,10 +92,19 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- near-dup pipeline stages (SURVEY §2.3-2.6; oracle = fixture tests) ----
-    "dedup_clusters" -> ((s, d) => pipeline(s, d).clusters.orderBy("doc_id")),
-    "dedup_cluster_stats" -> ((s, d) =>
-      pipeline(s, d).clusterStats.orderBy(col("size").desc, col("cluster_id"))),
+    // ---- near-dup pipeline stages (SURVEY §2.3-2.6) ----
+    // Clusters/members/stats run the REAL pipeline (LSH + verify + CC) and
+    // are relabeled into original-id space so the DuckDB recursive-CTE
+    // oracle can check them value-exactly.
+    "dedup_clusters" -> ((s, d) => origClusters(pipeline(s, d)).orderBy("doc_id")),
+    "dedup_cluster_stats" -> ((s, d) => {
+      val res = pipeline(s, d)
+      val src = res.t1.select(origId(col("path")).as("doc_id"), col("repo"))
+      origClusters(res).join(src, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("size"), countDistinct(col("repo")).as("n_repos"))
+        .orderBy("cluster_id")
+    }),
     "dedup_signatures" -> ((s, d) =>
       pipeline(s, d).signatures.select("doc_id", "simhash", "n_shingles").orderBy("doc_id")),
     "dedup_bands" -> ((s, d) => pipeline(s, d).bands.orderBy("doc_id", "band")),
@@ -59,11 +126,53 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
     "cluster_members" -> ((s, d) =>
-      pipeline(s, d).clusters
+      // stringified capped member sample (a raw array column crashes the
+      // driver's pandas compare and has no stable hash), original-id space
+      origClusters(pipeline(s, d))
         .groupBy("cluster_id")
-        .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 20).as("sample_members"),
+        .agg(concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, 20))
+            .as("sample_members"),
           count(lit(1)).as("size"))
         .orderBy("cluster_id")),
+
+    // ---- SQL-expressible dedup-core twin (SURVEY §2 rows 11/18/25 Q/sql):
+    // shingle → shingle-equality pair-gen → integer-exact Jaccard. Same
+    // relational math on both sides, so the DuckDB oracle is value-exact.
+    "dedup_jaccard_sql" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val tk = docs.select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9_]+"), t => t =!= lit("")).as("tk"))
+      val sh = tk.where(size(col("tk")) >= cfg.shingleK)
+        .select(col("doc_id"),
+          array_distinct(transform(sequence(lit(0), size(col("tk")) - lit(cfg.shingleK)),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(cfg.shingleK))))).as("shingles"))
+        .persist()
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      val n = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+      val inter = ex.as("x").join(ex.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(n.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(n.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .select(col("a"), col("b"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("uni"))
+        .withColumn("is_dup",
+          (col("inter") * 10 >= col("uni") * 7).cast("int"))
+        .orderBy("a", "b")
+    }),
+
+    // ---- first-story / novelty detection (the reference's headline
+    // capability, [P-FSD]): documents with NO verified near-dup neighbor —
+    // one left_anti join over the pipeline's verified edge set.
+    "first_stories" -> ((s, d) => {
+      val res = pipeline(s, d)
+      DedupPipeline.firstStories(res)
+        .join(res.t1.select("doc_id", "path"), "doc_id")
+        .select(origId(col("path")).as("doc_id"))
+        .orderBy("doc_id")
+    }),
 
     // ---- ingest / exact dedup (Q/sql) ----
     "doc_sha256" -> ((s, d) =>
@@ -77,6 +186,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("rep"))
         .where(col("cnt") > 1)
         .orderBy("sha")),
+    // Non-vacuous twin of exact_dup_groups: sf0.01 has zero byte-identical
+    // texts, so group on a normalized key (40-char prefix) that DOES collide
+    // — same groupBy-dedup operator, driver row proves real grouping work.
+    "norm_dup_groups" -> ((s, d) =>
+      s.read.parquet(s"$d/documents.parquet")
+        .groupBy(substring(col("text"), 1, 40).as("prefix40"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("rep"))
+        .where(col("cnt") > 1)
+        .orderBy("prefix40")),
 
     // ---- text analysis (Q/sql) ----
     "text_token_counts" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -99,7 +217,11 @@ object SparkEntry {
     "mm_decode" -> ((s, d) =>
       extra.Multimodal.decode(s, extra.Multimodal.assets(s, d)).toDF().orderBy("asset_id")),
     "mm_features" -> ((s, d) =>
-      extra.Multimodal.features(s, extra.Multimodal.assets(s, d)).toDF().orderBy("asset_id")),
+      // scalar digest per row (raw float arrays crash the driver compare)
+      extra.Multimodal.features(s, extra.Multimodal.assets(s, d)).toDF()
+        .select(col("asset_id"), size(col("embedding")).cast("long").as("dim"),
+          xxhash64(to_json(struct(col("embedding")))).as("emb_digest"))
+        .orderBy("asset_id")),
 
     // ---- relational operator surface (SURVEY §2.7, all Q/sql) ----
     "q_agg_pricing" -> ((s, d) =>
@@ -124,6 +246,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
         .orderBy("n_name")
+    }),
+    // TPC-H Q9-shaped 5-table join exercising part/supplier/region: all
+    // dimension sides are small → broadcast; revenue in integer
+    // cent·percent units so the oracle hash is float-free.
+    "q_join5_region" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val part = s.read.parquet(s"$d/part.parquet").where(col("p_size") <= 20)
+      val supp = s.read.parquet(s"$d/supplier.parquet")
+      val nation = s.read.parquet(s"$d/nation.parquet")
+      val region = s.read.parquet(s"$d/region.parquet")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_c4"))
+        .orderBy("r_name", "n_name")
     }),
     "q_topk" -> ((s, d) =>
       s.read.parquet(s"$d/orders.parquet")
@@ -200,7 +341,25 @@ object SparkEntry {
           count(lit(1)).as("n"))),
   )
 
+  // DuckDB note: sum(BIGINT) yields HUGEINT, which pandas materializes as
+  // float64 and the driver's hash compare then mismatches Spark's int64 even
+  // when every value is equal — hence the outer CAST(... AS BIGINT) around
+  // every summed column below.
   def oracleSql: Map[String, String] = Map(
+    "dedup_jaccard_sql" ->
+      s"WITH RECURSIVE $dupCte SELECT a, b, inter, uni, CAST(10*inter >= 7*uni AS INTEGER) AS is_dup FROM jac ORDER BY a, b",
+    "dedup_clusters" ->
+      s"WITH RECURSIVE $dupCte SELECT doc_id, cluster_id FROM cl ORDER BY doc_id",
+    "dedup_cluster_stats" ->
+      s"WITH RECURSIVE $dupCte SELECT cluster_id, count(*) AS size, count(DISTINCT source) AS n_repos FROM cl JOIN documents USING (doc_id) GROUP BY 1 ORDER BY 1",
+    "cluster_members" ->
+      s"WITH RECURSIVE $dupCte SELECT cluster_id, array_to_string(list_sort(list(doc_id))[1:20], ',') AS sample_members, count(*) AS size FROM cl GROUP BY 1 ORDER BY 1",
+    "first_stories" ->
+      s"WITH RECURSIVE $dupCte SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT a FROM dup UNION SELECT b FROM dup) ORDER BY doc_id",
+    "norm_dup_groups" ->
+      "SELECT substr(text, 1, 40) AS prefix40, count(*) AS cnt, min(doc_id) AS rep FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY prefix40",
+    "q_join5_region" ->
+      "SELECT r_name, n_name, count(*) AS n_items, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS rev_c4 FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE p_size <= 20 GROUP BY 1, 2 ORDER BY 1, 2",
     "corpus_filter" ->
       "SELECT 'doc/' || doc_id AS path FROM documents WHERE lang = 'en' AND length(text) BETWEEN 100 AND 400 ORDER BY path",
     "doc_sha256" ->
@@ -214,11 +373,11 @@ object SparkEntry {
     "emb_dims" ->
       "SELECT vec_id, len(embedding)::BIGINT AS dim FROM embeddings ORDER BY vec_id",
     "q_agg_pricing" ->
-      "SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2",
+      "SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2",
     "q_filter_pushdown" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity > 45 ORDER BY l_orderkey, l_linenumber",
     "q_join_agg" ->
-      "SELECT n_name, count(*) AS n_orders, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1",
+      "SELECT n_name, count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1",
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
     "q_window_rank" ->
@@ -234,8 +393,8 @@ object SparkEntry {
     "q_rollup" ->
       "SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, prio",
     "q_events_hourly" ->
-      "SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_ts, event_type, count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+      "SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS hour_ts, event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     "q_cube" ->
-      "SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, prio",
+      "SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, prio",
   )
 }

@@ -99,6 +99,28 @@ class EndToEndSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("first stories = docs with no verified neighbor (novelty operator)") {
+    val novel = DedupPipeline.firstStories(result).as[Long].collect().toSet
+    val endpoints = oracle.verifiedPairs.flatMap(p => Seq(p._1, p._2))
+    val expected = oracle.sha256.keySet -- endpoints
+    assert(novel === expected)
+    // planted sanity: a doc from a multi-member exact-dup group can never be
+    // a first story (its exact twin is a verified neighbor by construction)
+    val ids = corpus.map(ReferenceOracle.docId)
+    val fam = ids.zip(labels).toMap
+    val groupSizes = labels.groupBy(l => (l.family, l.groupId)).view.mapValues(_.size).toMap
+    novel.foreach { id =>
+      val l = fam(id)
+      assert(!(l.family == "exact" && groupSizes((l.family, l.groupId)) >= 2),
+        s"exact dup $id flagged as first story")
+    }
+    // and the bulk of unique docs ARE first stories
+    val uniqueIds = ids.zip(labels).filter(_._2.family == "unique").map(_._1)
+    val uniqueNovel = uniqueIds.count(novel)
+    assert(uniqueNovel.toDouble / uniqueIds.size >= 0.95,
+      s"only $uniqueNovel/${uniqueIds.size} unique docs flagged novel")
+  }
+
   test("pipeline verified pairs: boilerplate-only pairs are absent") {
     val fam = corpus.map(ReferenceOracle.docId).zip(labels).toMap
     val got = result.verifiedPairs.select("a", "b").as[(Long, Long)].collect()
