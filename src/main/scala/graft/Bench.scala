@@ -86,21 +86,18 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
-    val headline: Seq[(String, () => Long)] = Seq(
-      "dedup_end_to_end" -> (() =>
-        DedupPipeline.run(spark, t1, conf.DedupConfig.default).clusters.count()),
-      "dedup_signatures" -> (() =>
-        DedupPipeline.signatures(spark, t1, conf.DedupConfig.default).count()),
-      "exact_dup_groups" -> (() => SparkEntry.queries("exact_dup_groups")(spark, sfDir).count()),
-      "text_token_counts" -> (() => SparkEntry.queries("text_token_counts")(spark, sfDir).count()),
-      "text_quality" -> (() => SparkEntry.queries("text_quality")(spark, sfDir).count()),
-      "ann_topk_brute" -> (() => SparkEntry.queries("ann_topk_brute")(spark, sfDir).count()),
-      "ann_topk_lsh" -> (() => SparkEntry.queries("ann_topk_lsh")(spark, sfDir).count()),
-      "q_agg_pricing" -> (() => SparkEntry.queries("q_agg_pricing")(spark, sfDir).count()),
-      "q_join_agg" -> (() => SparkEntry.queries("q_join_agg")(spark, sfDir).count()),
-      "q_window_rank" -> (() => SparkEntry.queries("q_window_rank")(spark, sfDir).count()),
-      "q_events_hourly" -> (() => SparkEntry.queries("q_events_hourly")(spark, sfDir).count()),
-    )
+    // Headline e2e on the (optionally inflated) corpus, then EVERY
+    // SparkEntry.queries entry — a regression anywhere in the surface shows
+    // up in the per-query map, not just in the curated subset.
+    val headline: Seq[(String, () => Long)] =
+      Seq[(String, () => Long)](
+        "dedup_end_to_end" -> (() =>
+          DedupPipeline.run(spark, t1, conf.DedupConfig.default).clusters.count()),
+        "dedup_kernel_only" -> (() =>
+          DedupPipeline.signatures(spark, t1, conf.DedupConfig.default).count())
+      ) ++ SparkEntry.queries.keys.toSeq.sorted.map { name =>
+        name -> (() => SparkEntry.queries(name)(spark, sfDir).count())
+      }
 
     val results = headline.map { case (name, f) =>
       val (sec, _) = try time(f()) catch { case e: Throwable =>
@@ -113,7 +110,12 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val e2e = results.toMap.getOrElse("dedup_end_to_end", -1.0)
     val fps = if (e2e > 0) nDocs / e2e else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"mult":$mult,"dup_mode":"$dupMode","n_docs":$nDocs,"files_per_sec":$fps}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"mult":$mult,"dup_mode":"$dupMode","n_docs":$nDocs,"files_per_sec":$fps}"""
+    // stdout goes through sbt's logger (prefixed "[info] "), which broke the
+    // driver's JSON parse in round 1 — the file is the canonical output.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")), json)
+    println(json)
     spark.stop()
   }
 }
