@@ -87,11 +87,20 @@ object Dedup {
       val (lshPairs, stopBands) =
         if (cfg.pairGenJoin) lsh.CandidatePairs.generateJoin(spark, bands, cfg)
         else lsh.CandidatePairs.generate(spark, bands, cfg)
-      cat.write(stopBands, "stop_bands") // small side table, logged with pairs
+      // stop_bands: small side table written inside this stage's closure,
+      // with its own lineage row (same chain fingerprint as candidate_pairs
+      // — it is a byproduct of exactly this computation) so a resumed run
+      // can never pair a fresh pairs table with a stale stop-band log.
+      cat.write(stopBands, "stop_bands")
+      StageMeta.record(spark, cat, runId, "stop_bands", chainFp, 0L)
       val exact = lsh.CandidatePairs.exactPairs(t1)
       val sfx = suffix.SuffixPass.containmentPairs(spark, t1d, cfg).select("a", "b", "src")
+      // strongestSrc (not alphabetical min): a pair found by BOTH the suffix
+      // pass and an LSH band must stay 'suffix' so the verified_pairs stage
+      // treats it as verified-by-construction (matches DedupPipeline.run
+      // and the in-repo oracle, which verify LSH pairs before the union).
       lshPairs.unionByName(exact).unionByName(sfx)
-        .groupBy("a", "b").agg(min("src").as("src"))
+        .groupBy("a", "b").agg(lsh.CandidatePairs.strongestSrc.as("src"))
     }
     if (done("candidate_pairs")) return StagedResult(computed.toSeq, pairs)
 
@@ -101,7 +110,8 @@ object Dedup {
       val byConstruction = pairs.where(col("src").isin("exact", "suffix"))
         .withColumn("est_jaccard", lit(1.0d)).select("a", "b", "est_jaccard", "src")
       lshSide.unionByName(byConstruction)
-        .groupBy("a", "b").agg(min("src").as("src"), max("est_jaccard").as("est_jaccard"))
+        .groupBy("a", "b")
+        .agg(lsh.CandidatePairs.strongestSrc.as("src"), max("est_jaccard").as("est_jaccard"))
     }
     if (done("verified_pairs")) return StagedResult(computed.toSeq, verified)
 

@@ -100,7 +100,7 @@ object DedupPipeline {
       else lshVerified.unionByName(exactV)
     val verified = unionAll
       .groupBy("a", "b")
-      .agg(min("src").as("src"), max("est_jaccard").as("est_jaccard"))
+      .agg(lsh.CandidatePairs.strongestSrc.as("src"), max("est_jaccard").as("est_jaccard"))
 
     // Exact-dup members are pendant vertices: LSH/suffix pairs only touch
     // sha-reps, so a member's sole edge is (rep, member). CC therefore runs
@@ -121,7 +121,7 @@ object DedupPipeline {
     val candidates =
       (if (withSuffixPass) lshPairs.unionByName(exact).unionByName(suffix)
        else lshPairs.unionByName(exact))
-        .groupBy("a", "b").agg(min("src").as("src"))
+        .groupBy("a", "b").agg(lsh.CandidatePairs.strongestSrc.as("src"))
 
     Result(t1, sigs, bands, candidates, verified, clusters, stats, stopBands)
   }

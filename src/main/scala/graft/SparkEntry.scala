@@ -361,7 +361,7 @@ object SparkEntry {
     "q_join5_region" ->
       "SELECT r_name, n_name, count(*) AS n_items, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS rev_c4 FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE p_size <= 20 GROUP BY 1, 2 ORDER BY 1, 2",
     "corpus_filter" ->
-      "SELECT 'doc/' || doc_id AS path FROM documents WHERE lang = 'en' AND length(text) BETWEEN 100 AND 400 ORDER BY path",
+      "SELECT 'doc/' || doc_id AS path FROM documents WHERE lang = 'en' AND strlen(text) BETWEEN 100 AND 400 ORDER BY path",
     "doc_sha256" ->
       "SELECT doc_id, sha256(text) AS sha, length(text)::BIGINT AS len_chars FROM documents ORDER BY doc_id",
     "exact_dup_groups" ->

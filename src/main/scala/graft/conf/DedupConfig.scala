@@ -48,10 +48,20 @@ final case class DedupConfig(
 
   def simhashBlockBits: Int = 64 / simhashBlocks
 
-  /** Stable fingerprint of the config, stamped into lineage rows. */
+  /** Stable fingerprint of the config, stamped into lineage rows.
+    *
+    * Rule: SEMANTIC knobs (they change the emitted pair/cluster sets) go in;
+    * execution-strategy knobs stay out. stopBandSize changes which band
+    * groups are dropped and suffixDfMax changes which grams anchor
+    * containment candidates — both semantic. maxBandSize only re-shards hot
+    * groups (pair set provably invariant, SaltingSpec) and pairGenJoin picks
+    * the physical pair-generation plan — both excluded, so flipping them
+    * resumes cleanly instead of invalidating every stage.
+    */
   def fingerprint: String =
     s"$version:k$shingleK:p$numPerms:b${bands}x$rowsPerBand:sb$simhashBlocks" +
-      s":h$hammingMax:tau$jaccardTau:sfx$suffixMinLen:mb$maxBandSize:seed$seed"
+      s":h$hammingMax:tau$jaccardTau:sfx$suffixMinLen:stop$stopBandSize" +
+      s":dfx$suffixDfMax:seed$seed"
 }
 
 object DedupConfig {

@@ -35,7 +35,9 @@ object Ingest {
       xxhash64(col("repo"), col("path"), col("commit")).as("doc_id"),
       col("repo"), col("path"), col("commit"), col("lang"),
       sha2(col("content"), 256).as("content_sha256"),
-      length(col("content")).cast("long").as("n_bytes"),
+      // octet_length (UTF-8 bytes), not length (chars): the 10MB filter cap
+      // is a byte budget and multi-byte content must not under-measure
+      octet_length(col("content")).cast("long").as("n_bytes"),
       col("content"))
 
   /** Corpus hygiene filter (row 7): language allow-list, size bounds,

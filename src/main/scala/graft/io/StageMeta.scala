@@ -38,19 +38,26 @@ object StageMeta {
       wallMs: Long): Unit = {
     import spark.implicits._
     val loc = catalog.location(stage)
-    val perFile = spark.read.parquet(loc)
-      .groupBy(input_file_name().as("partition_file"))
-      .agg(count(lit(1)).as("rows"))
-      .as[(String, Long)].collect().toMap
-
     val p = new Path(loc)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).filter(f => f.getPath.getName.endsWith(".parquet"))
+    val perFile: Map[String, Long] =
+      if (files.isEmpty) Map.empty
+      else spark.read.parquet(loc)
+        .groupBy(input_file_name().as("partition_file"))
+        .agg(count(lit(1)).as("rows"))
+        .as[(String, Long)].collect().toMap
     val now = new java.sql.Timestamp(System.currentTimeMillis())
-    val rowsOut = files.toSeq.map { f =>
+    val rowsOut0 = files.toSeq.map { f =>
       val rows = perFile.collect { case (k, v) if k.endsWith(f.getPath.getName) => v }.sum
       MetaRow(runId, stage, f.getPath.getName, rows, f.getLen, fingerprint, wallMs, now)
     }
+    // An empty stage table (e.g. stop_bands with no hot groups) may write
+    // zero part files — still record one lineage row so resume bookkeeping
+    // can see the stage/fingerprint.
+    val rowsOut =
+      if (rowsOut0.nonEmpty) rowsOut0
+      else Seq(MetaRow(runId, stage, "_empty", 0L, 0L, fingerprint, wallMs, now))
     val metaDf = spark.createDataFrame(rowsOut)
     metaDf.write.mode("append").parquet(s"${catalog.location(StageMetaDir)}")
   }

@@ -32,6 +32,16 @@ import graft.model.{BandedDoc, Pair}
   */
 object CandidatePairs {
 
+  /** Canonical pair-source collapse: one row per (a,b) keeping the strongest
+    * source. Verified-by-construction sources (exact, suffix) outrank the
+    * LSH sources: a containment pair (low Jaccard, Hamming > 3) that ALSO
+    * collides in one band must keep src='suffix', or the staged path would
+    * route it through the est/hamming check and silently drop it —
+    * alphabetical min("src") had exactly that bug (suffix > minhash).
+    */
+  def strongestSrc: org.apache.spark.sql.Column =
+    expr("min_by(src, CASE src WHEN 'exact' THEN 0 WHEN 'suffix' THEN 1 WHEN 'minhash' THEN 2 ELSE 3 END)")
+
   /** @return (candidate pairs `a,b,src` deduped with src priority,
     *          stop-band log `band,band_hash,cnt`)
     */
@@ -87,8 +97,8 @@ object CandidatePairs {
         }
       }
 
-    // Canonical dedup keeping the strongest source; priority order happens
-    // to be alphabetical: exact < minhash < simhash < suffix.
+    // Canonical dedup keeping the strongest source; within the two LSH
+    // sources alphabetical min equals the priority order (minhash < simhash).
     val pairs = rawPairs.toDF()
       .groupBy("a", "b").agg(min("src").as("src"))
 

@@ -83,7 +83,8 @@ object IncrementalDedup {
       .verifyLshPairs(lshCands, sigsAll, cfg)
       .unionByName(exactCands.withColumn("est_jaccard", lit(1.0d))
         .select("a", "b", "est_jaccard", "src"))
-      .groupBy("a", "b").agg(min("src").as("src"), max("est_jaccard").as("est_jaccard"))
+      .groupBy("a", "b").agg(graft.lsh.CandidatePairs.strongestSrc.as("src"),
+        max("est_jaccard").as("est_jaccard"))
 
     // Commit protocol: state tables are read and replaced in the same
     // batch, so each is written to `<name>_next` and atomically swapped in
@@ -93,7 +94,8 @@ object IncrementalDedup {
     val pairsAll =
       if (cat.exists(spark, "pairs"))
         cat.read(spark, "pairs").unionByName(verified).groupBy("a", "b")
-          .agg(min("src").as("src"), max("est_jaccard").as("est_jaccard"))
+          .agg(graft.lsh.CandidatePairs.strongestSrc.as("src"),
+            max("est_jaccard").as("est_jaccard"))
       else verified
     val newPairCount = verified.count()
 

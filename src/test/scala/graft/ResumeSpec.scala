@@ -66,6 +66,36 @@ class ResumeSpec extends AnyFunSuite with SparkTestBase {
     assert(changed.computed.head === "t1") // whole chain fingerprint shifts
   }
 
+  test("semantic knob change (stopBandSize) invalidates; execution knob (maxBandSize) does not") {
+    val dir = freshDir()
+    Dedup.run(spark, corpus, dir, cfg, inputId = "fixture400")
+    // maxBandSize only re-shards hot groups (pair set invariant, SaltingSpec)
+    // — flipping it must reuse every stage
+    val exec = Dedup.run(spark, corpus, dir, cfg.copy(maxBandSize = 99), inputId = "fixture400")
+    assert(exec.computed.isEmpty, s"execution knob invalidated: ${exec.computed}")
+    // stopBandSize changes which band groups are dropped → pair set changes
+    // → the whole chain must recompute
+    val sem = Dedup.run(spark, corpus, dir, cfg.copy(stopBandSize = 19999), inputId = "fixture400")
+    assert(sem.computed.nonEmpty && sem.computed.head === "t1",
+      s"semantic knob did not invalidate: ${sem.computed}")
+    // suffixDfMax changes which grams anchor containment candidates → same
+    val sem2 = Dedup.run(spark, corpus, dir, cfg.copy(suffixDfMax = 63), inputId = "fixture400")
+    assert(sem2.computed.nonEmpty, "suffixDfMax change did not invalidate")
+  }
+
+  test("stop_bands log has its own lineage row in lockstep with candidate_pairs") {
+    val dir = freshDir()
+    Dedup.run(spark, corpus, dir, cfg, inputId = "fixture400")
+    val meta = io.StageMeta.read(spark, new io.ParquetCatalog(dir))
+    val fps = meta.where($"stage".isin("stop_bands", "candidate_pairs"))
+      .select("stage", "input_fingerprint").distinct()
+      .as[(String, String)].collect().toMap
+    assert(fps.keySet === Set("stop_bands", "candidate_pairs"))
+    // same chain fingerprint: a resumed run can never keep a stale stop-band
+    // log alongside a fresh pairs table
+    assert(fps("stop_bands") === fps("candidate_pairs"))
+  }
+
   test("per-partition lineage rows exist with honest row counts") {
     val dir = freshDir()
     Dedup.run(spark, corpus, dir, cfg, inputId = "fixture400")

@@ -115,11 +115,20 @@ object ReferenceOracle {
         fpIndex.getOrElseUpdate(fp, mutable.ArrayBuffer.empty) += id
       }
     }
+    // Candidates from shared grams, then the SAME suffix-array verification
+    // the pipeline applies (maxCommonSubstring >= minLen) — the rolling
+    // gram hash can collide, and the pipeline rejects such pairs in the SA
+    // kernel, so the oracle must share the full rule, not just the scoping.
     val suffixPairs = mutable.Set.empty[(Long, Long)]
     fpIndex.values.foreach { docs =>
       val arr = docs.distinct.sorted
       if (arr.length >= 2 && arr.length <= cfg.suffixDfMax) {
-        for (i <- arr.indices; j <- i + 1 until arr.length) suffixPairs += ((arr(i), arr(j)))
+        for (i <- arr.indices; j <- i + 1 until arr.length) {
+          val p = (arr(i), arr(j))
+          if (!suffixPairs.contains(p) &&
+              graft.suffix.SuffixArrays.maxCommonSubstring(toks(p._1), toks(p._2)) >= cfg.suffixMinLen)
+            suffixPairs += p
+        }
       }
     }
 
