@@ -89,15 +89,19 @@ object Bench {
     // Headline e2e on the (optionally inflated) corpus, then EVERY
     // SparkEntry.queries entry — a regression anywhere in the surface shows
     // up in the per-query map, not just in the curated subset.
+    // SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts to a subset (used by the
+    // interleaved scaling-efficiency protocol to time just the e2e run).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val headline: Seq[(String, () => Long)] =
-      Seq[(String, () => Long)](
+      (Seq[(String, () => Long)](
         "dedup_end_to_end" -> (() =>
           DedupPipeline.run(spark, t1, conf.DedupConfig.default).clusters.count()),
         "dedup_kernel_only" -> (() =>
           DedupPipeline.signatures(spark, t1, conf.DedupConfig.default).count())
       ) ++ SparkEntry.queries.keys.toSeq.sorted.map { name =>
         name -> (() => SparkEntry.queries(name)(spark, sfDir).count())
-      }
+      }).filter { case (n, _) => only.forall(_.contains(n)) }
 
     val results = headline.map { case (name, f) =>
       val (sec, _) = try time(f()) catch { case e: Throwable =>

@@ -107,8 +107,10 @@ object Similarity extends Serializable {
     }
   }
 
-  /** Sign-bit sketch kernel: bit i = sign(dot(v, h_i)). */
-  def sketch(spark: SparkSession, emb: Dataset[Emb], nbits: Int = 16, seed: Long = 42L): Dataset[SketchRow] = {
+  /** Sign-bit sketch kernel: bit i = sign(dot(v, h_i)). 64 bits (one long)
+    * by default — 16 was far too coarse a key space at corpus scale.
+    */
+  def sketch(spark: SparkSession, emb: Dataset[Emb], nbits: Int = 64, seed: Long = 42L): Dataset[SketchRow] = {
     import spark.implicits._
     emb.mapPartitions { it =>
       var hp: Array[Array[Float]] = null
@@ -130,37 +132,59 @@ object Similarity extends Serializable {
     }
   }
 
-  /** Embedding-cosine near-duplicate clustering: sketch-bucket candidate
-    * pairs → exact cosine ≥ threshold → connected components. The embedding
-    * analogue of the MinHash pipeline, sharing the CC machinery; every
-    * vector gets a cluster id (singletons = self).
+  /** Sketch blocks as a band-rows table (band=table idx, band_hash=bucket,
+    * doc_id=vec_id) — the exact input shape of the MinHash pair generator,
+    * so the embedding path reuses its salted-triangle, stop-capped, slim
+    * (3-longs-per-side) candidate machinery instead of reinventing it.
     */
-  def embeddingDupClusters(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.9, nbits: Int = 16, tables: Int = 4): DataFrame = {
-    import spark.implicits._
+  private def embBandRows(spark: SparkSession, emb: Dataset[Emb],
+      nbits: Int, tables: Int): DataFrame = {
+    require(nbits % tables == 0, "tables must divide nbits")
     val blockBits = nbits / tables
     val mask = (1L << blockBits) - 1
-    val sk = sketch(spark, embDs(spark, sfDir), nbits)
-    val blocks = sk.toDF().select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until tables).map(t =>
-        shiftrightunsigned(col("sketch"), t * blockBits).bitwiseAND(lit(mask))): _*)))
-      .select(col("vec_id"), col("embedding"), col("pos").as("table"), col("col").as("bucket"))
+    sketch(spark, emb, nbits).toDF()
+      .select(col("vec_id").as("doc_id"),
+        posexplode(array((0 until tables).map(t =>
+          shiftrightunsigned(col("sketch"), t * blockBits).bitwiseAND(lit(mask))): _*)))
+      .select(col("pos").as("band"), col("col").as("band_hash"), col("doc_id"))
+  }
 
-    val l = blocks.select(col("table"), col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val r = blocks.select(col("table").as("table_r"), col("bucket").as("bucket_r"),
-      col("vec_id").as("b"), col("embedding").as("eb"))
-    val pairs = l.join(r,
-      col("table") === col("table_r") && col("bucket") === col("bucket_r") && col("a") < col("b"))
-      .select("a", "b", "ea", "eb")
-      .dropDuplicates("a", "b")
+  /** Embedding-cosine near-duplicate clustering: sketch-bucket candidate
+    * pairs → exact cosine ≥ threshold → connected components. The embedding
+    * analogue of the MinHash pipeline, sharing BOTH the pair-generation
+    * machinery (salting for hot buckets, stop-bucket capping, id-only
+    * shuffle — raw vectors are re-joined only for surviving candidates) and
+    * the CC machinery; every vector gets a cluster id (singletons = self).
+    *
+    * Defaults: 8 tables × 8-bit blocks of a 64-bit sketch — at the stated
+    * near-dup threshold (cos ≥ 0.9, bit-agreement p ≈ 0.86) a true pair
+    * collides in ≥1 table w.p. ≈ 0.93, while a random pair's per-table
+    * collision is 2^-8 — selective enough that candidate mass stays linear
+    * at corpus scale, with the cap/salt machinery bounding the hot tail
+    * (all-zero vectors, duplicate embeddings).
+    */
+  def embeddingDupClusters(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.9, nbits: Int = 64, tables: Int = 8,
+      maxBucket: Int = 1000, stopBucket: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val emb = embDs(spark, sfDir)
+    val cfgEmb = graft.conf.DedupConfig.default
+      .copy(maxBandSize = maxBucket, stopBandSize = stopBucket)
+    val (pairs, _) = graft.lsh.CandidatePairs.generateJoin(
+      spark, embBandRows(spark, emb, nbits, tables), cfgEmb)
+
+    // vectors attach ONLY to surviving candidate pairs, after the id-level
+    // dedup — the pair shuffle never carries embedding arrays
+    val ea = emb.toDF("a", "ea")
+    val eb = emb.toDF("b", "eb")
+    val edges = pairs.select("a", "b").join(ea, "a").join(eb, "b")
       .as[(Long, Long, Array[Float], Array[Float])]
-      .mapPartitions(_.flatMap { case (a, b, ea, eb) =>
-        val c = cosine(ea, eb)
-        if (c >= threshold) Some((a, b)) else None
+      .mapPartitions(_.flatMap { case (a, b, va, vb) =>
+        if (cosine(va, vb) >= threshold) Some((a, b)) else None
       })
       .toDF("a", "b")
 
-    val mapping = graft.cc.ConnectedComponents.run(spark, pairs)
+    val mapping = graft.cc.ConnectedComponents.run(spark, edges)
     graft.cc.ConnectedComponents.assignAll(
       embeddings(spark, sfDir).select(col("vec_id").as("doc_id")), mapping)
       .withColumnRenamed("doc_id", "vec_id")
@@ -172,11 +196,18 @@ object Similarity extends Serializable {
     * corpus into lists; a query scans only its `nprobe` nearest lists. At
     * 100 TB the lists become the partitioning key of the embedding table,
     * so a query touches nprobe/nlist of the data.
+    *
+    * nlist defaults to ⌈√n⌉ (the standard IVF sizing: list size ≈ √n keeps
+    * quantizer cost ≈ scan cost), so a query scans ~nprobe·√n vectors — a
+    * fixed nlist would degenerate to a linear fraction of the corpus.
     */
   def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 20,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlistOpt: Option[Int] = None, nprobeOpt: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val emb = embDs(spark, sfDir)
+    val n = emb.count()
+    val nlist = nlistOpt.getOrElse(math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val nprobe = nprobeOpt.getOrElse(math.max(2, nlist / 4))
 
     // deterministic init: the nlist lowest vec_ids; one Lloyd step
     val init: Array[Array[Float]] = emb.orderBy("vec_id").limit(nlist).collect().map(_.embedding)
@@ -226,31 +257,46 @@ object Similarity extends Serializable {
 
   /** LSH candidate top-k: vectors sharing any one of `tables` sketch blocks
     * collide; exact cosine + rank within candidates only.
+    *
+    * Scale shape: the bucket join carries (table, bucket, vec_id) ONLY —
+    * query vectors ride in a broadcast map and neighbor vectors are joined
+    * back for surviving candidates. Buckets larger than `maxBucket` are
+    * dropped via a broadcast stop list (the degenerate-key tail: all-zero
+    * vectors, duplicated embeddings) — same stop-band policy as the MinHash
+    * path; at 16 tables a true neighbor still collides elsewhere.
+    *
+    * Defaults trade selectivity for recall: top-k neighbors in a generic
+    * corpus are WEAK (cos ≈ 0.3, bit-agreement ≈ 0.62), so 16 tables ×
+    * 4-bit blocks keeps ≥1-table collision probability ≈ 0.92 for them; use
+    * fewer/wider tables (8×8) when hunting near-dups (cos ≥ 0.9).
     */
   def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 20,
-      nbits: Int = 16, tables: Int = 4): DataFrame = {
+      nbits: Int = 64, tables: Int = 16, maxBucket: Int = 100000): DataFrame = {
     import spark.implicits._
-    val blockBits = nbits / tables
-    val mask = (1L << blockBits) - 1
-    val sk = sketch(spark, embDs(spark, sfDir), nbits)
-    val blocks = sk.toDF().select(col("vec_id"), col("embedding"), col("sketch"),
-      posexplode(array((0 until tables).map(t =>
-        shiftrightunsigned(col("sketch"), t * blockBits).bitwiseAND(lit(mask))): _*)))
-      .select(col("vec_id"), col("embedding"), col("pos").as("table"), col("col").as("bucket"))
+    val emb = embDs(spark, sfDir)
+    val blocks = embBandRows(spark, emb, nbits, tables)
+      .toDF("table", "bucket", "vec_id")
 
-    val qIds = sk.toDF().orderBy("vec_id").limit(nQueries).select(col("vec_id").as("query_id"))
-    val qBlocks = blocks.join(broadcast(qIds), col("vec_id") === col("query_id"))
-      .select(col("query_id"), col("embedding").as("qv"), col("table"), col("bucket"))
+    val stop = blocks.groupBy("table", "bucket").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > maxBucket).select("table", "bucket")
+    val kept = blocks.join(broadcast(stop), Seq("table", "bucket"), "left_anti")
 
-    val cands = blocks.join(qBlocks, Seq("table", "bucket"))
+    val queries: Array[Emb] = emb.orderBy("vec_id").limit(nQueries).collect()
+    val qIds = queries.map(q => Tuple1(q.vec_id)).toSeq.toDF("query_id")
+    val qBlocks = kept.join(broadcast(qIds), col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("table"), col("bucket"))
+
+    val cands = kept.join(broadcast(qBlocks), Seq("table", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"), col("embedding"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
 
-    val scored = cands
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("embedding"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .mapPartitions(_.map { case (q, n, qv, ev) => Scored(q, n, cosine(qv, ev)) })
+    // neighbor vectors re-attached post-dedup; query vectors via closure map
+    val qv = queries.map(q => (q.vec_id, q.embedding)).toMap
+    val scored = cands.join(emb.toDF("neighbor_id", "ev"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("ev"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions(_.map { case (q, n, ev) => Scored(q, n, cosine(qv(q), ev)) })
 
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.toDF()

@@ -106,15 +106,30 @@ object CandidatePairs {
   }
 
   /** Tungsten variant of [[generate]]: the identical salted triangle
-    * scheme expressed as a self equi-join on (band, band_hash, i, j)
-    * instead of groupByKey/flatMapGroups. Same emitted pair SET (asserted
-    * by SaltingSpec); radically lower allocation rate — the typed path
+    * scheme expressed as a self equi-join instead of
+    * groupByKey/flatMapGroups. Same emitted pair SET (asserted by
+    * SaltingSpec); radically lower allocation rate — the typed path
     * materializes one JVM object per replicated band row and per emitted
     * pair, which made pair generation GC-bound and scale NEGATIVELY from
     * 8→32 local cores. SMJ buffers one bounded (≤ 2·maxBandSize) key group
     * at a time in UnsafeRow form.
+    *
+    * Shuffle diet (this stage dominates e2e wall time at scale): each join
+    * side carries exactly 3 longs — `band_hash`, `pk` (band, i, j packed
+    * bit-exactly into one long: no hashing, so no new collision source the
+    * oracle doesn't share), and the doc id. The salt-bucket membership
+    * filters (`salt = i` on the left, `salt = j` on the right) are applied
+    * BEFORE the exchange, so a non-diagonal replica row is shuffled once,
+    * not twice, and the post-shuffle join condition only needs `dl < dr` on
+    * diagonal buckets (i == j, recovered from pk). Net ≈ 4× fewer shuffled
+    * bytes than the naive 6-column both-sides formulation.
     */
   def generateJoin(spark: SparkSession, bandRows: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
+    // pk layout: band in bits 0-7, i in bits 8-35, j in bits 36-63.
+    require(cfg.bands + cfg.simhashBlocks < 256, "band index must fit 8 bits")
+    require(cfg.stopBandSize.toLong <= (1L << 28) * cfg.maxBandSize,
+      "salt bucket count must fit 28 bits")
+
     val counts = bandRows.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
     val stop = counts.where(col("cnt") > cfg.stopBandSize)
     val hot = counts
@@ -132,23 +147,30 @@ object CandidatePairs {
       .select(col("band"), col("band_hash"), col("doc_id"), col("salt"),
         explode(transform(sequence(lit(0), col("s") - 1),
           x => struct(least(x, col("salt")).as("i"), greatest(x, col("salt")).as("j")))).as("bp"))
-      .select(col("band"), col("band_hash"), col("bp.i").as("i"), col("bp.j").as("j"),
-        col("doc_id"), col("salt"))
+      .select(col("band_hash").as("bh"),
+        (col("band").cast("long")
+          + shiftleft(col("bp.i").cast("long"), 8)
+          + shiftleft(col("bp.j").cast("long"), 36)).as("pk"),
+        col("doc_id"), col("salt"), col("bp.i").as("i"), col("bp.j").as("j"))
 
-    val l = exploded.select(col("band").as("band_l"), col("band_hash").as("bh_l"),
-      col("i").as("i_l"), col("j").as("j_l"), col("doc_id").as("dl"), col("salt").as("sl"))
-    val r = exploded.select(col("band").as("band_r"), col("band_hash").as("bh_r"),
-      col("i").as("i_r"), col("j").as("j_r"), col("doc_id").as("dr"), col("salt").as("sr"))
+    // Every replica row has salt == i or salt == j by construction (the
+    // bucket-pair is (min(x,salt), max(x,salt))); diagonal rows (i == j)
+    // satisfy both and feed both sides of the self-join.
+    val l = exploded.where(col("salt") === col("i"))
+      .select(col("bh"), col("pk"), col("doc_id").as("dl"))
+    val r = exploded.where(col("salt") === col("j"))
+      .select(col("bh").as("bh_r"), col("pk").as("pk_r"), col("doc_id").as("dr"))
+
+    val iOf = shiftrightunsigned(col("pk"), 8).bitwiseAND(lit((1L << 28) - 1))
+    val jOf = shiftrightunsigned(col("pk"), 36)
     val joined = l.join(r,
-      col("bh_l") === col("bh_r") && col("i_l") === col("i_r") &&
-        col("j_l") === col("j_r") && col("band_l") === col("band_r") &&
-        col("sl") === col("i_l") && col("sr") === col("j_r") &&
-        (col("i_l") =!= col("j_l") || col("dl") < col("dr")) &&
+      col("bh") === col("bh_r") && col("pk") === col("pk_r") &&
+        (iOf =!= jOf || col("dl") < col("dr")) &&
         col("dl") =!= col("dr"))
     val pairs = joined.select(
       least(col("dl"), col("dr")).as("a"),
       greatest(col("dl"), col("dr")).as("b"),
-      when(col("band_l") < cfg.bands, "minhash").otherwise("simhash").as("src"))
+      when(col("pk").bitwiseAND(lit(255L)) < cfg.bands, "minhash").otherwise("simhash").as("src"))
       .groupBy("a", "b").agg(min("src").as("src"))
 
     (pairs, stop)

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -12,16 +13,28 @@ import graft.io.ParquetCatalog
   *
   * Batch-incremental core ([[processBatch]]): new docs are ingested, signed
   * and banded; candidates are new×(old ∪ new) via an equi-join of the new
-  * band rows against the persisted band table — only pairs touching a new
-  * doc are generated, old×old never recomputed. Verified pairs append to a
-  * persisted edge table; clusters are re-derived from the accumulated edges
-  * (CC is cheap relative to signature work; production would run it
-  * periodically).
+  * band rows against the accumulated band table — only pairs touching a new
+  * doc are generated, old×old never recomputed.
+  *
+  * State layout — APPEND-ONLY where the state grows with the corpus:
+  * `bands/`, `signatures/`, `docs/` are partitioned by `batch=<id>`; a
+  * micro-batch writes ONLY its own partition, so per-batch write volume is
+  * ∝ batch size (the old design rewrote the full accumulated state every
+  * batch — O(corpus) I/O per batch, quadratic over a stream's life). The
+  * `pairs` edge table stays merge-rewritten via an atomic `_next` swap: it
+  * is small relative to bands/signatures (verified edges only) and the
+  * merge dedups replayed edges; production would compact it periodically.
+  *
+  * Exactly-once: a batch id is committed by writing a `_commits/batch-<id>`
+  * marker LAST. A replayed id (Structured Streaming restart, crash between
+  * the partition writes and the marker) is either skipped (marker present)
+  * or safely re-run: partition writes are overwrite-idempotent and the
+  * pairs merge dedups. Re-ingest of an already-known doc_id (at any batch)
+  * is dropped by an anti-join against the accumulated docs, so state rows
+  * stay unique per doc and candidate joins never inflate.
   *
   * The streaming face ([[startStream]]) is `readStream` →
-  * `foreachBatch(processBatch)`: Structured Streaming provides exactly-once
-  * batch ids + offset tracking, and state lives in ordinary tables — the
-  * same checkpoint-as-contract design as the batch pipeline.
+  * `foreachBatch(processBatch)` with the real batch id passed through.
   *
   * Skew note: the incremental candidate join relies on AQE skew-split (the
   * join side is a shuffle join, which AQE *can* split, unlike the batch
@@ -34,36 +47,84 @@ object IncrementalDedup {
 
   final case class BatchResult(newPairs: Long, totalDocs: Long)
 
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committed(spark: SparkSession, stateDir: String, id: Long): Boolean =
+    fs(spark, stateDir).exists(new Path(s"$stateDir/_commits/batch-$id"))
+
+  private def commit(spark: SparkSession, stateDir: String, id: Long): Unit = {
+    val f = fs(spark, stateDir)
+    f.mkdirs(new Path(s"$stateDir/_commits"))
+    f.create(new Path(s"$stateDir/_commits/batch-$id"), true).close()
+  }
+
+  private def nextBatchId(spark: SparkSession, stateDir: String): Long = {
+    val p = new Path(s"$stateDir/_commits")
+    val f = fs(spark, stateDir)
+    if (!f.exists(p)) 0L
+    else f.listStatus(p).map(_.getPath.getName.stripPrefix("batch-").toLong)
+      .foldLeft(-1L)(math.max) + 1L
+  }
+
+  /** Read an append-only state table (all batch partitions), or None if the
+    * table does not exist yet.
+    */
+  private def readState(spark: SparkSession, stateDir: String, name: String): Option[DataFrame] = {
+    val p = new Path(s"$stateDir/$name")
+    if (fs(spark, stateDir).exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** @param batchId streaming micro-batch id for exactly-once replay
+    *        detection; pass -1 (default) to auto-assign the next id for
+    *        direct/batch callers.
+    */
   def processBatch(
       spark: SparkSession,
       corpusBatch: DataFrame,
       stateDir: String,
-      cfg: DedupConfig = DedupConfig.default): BatchResult = {
+      cfg: DedupConfig = DedupConfig.default,
+      batchId: Long = -1L): BatchResult = {
     val cat = new ParquetCatalog(stateDir)
+    val id = if (batchId >= 0) batchId else nextBatchId(spark, stateDir)
+    if (committed(spark, stateDir, id)) {
+      // replayed batch: state already reflects it
+      return BatchResult(0L, readState(spark, stateDir, "docs").map(_.count()).getOrElse(0L))
+    }
 
-    val t1New = graft.ingest.Ingest.ingest(corpusBatch)
+    val docsOld = readState(spark, stateDir, "docs").map(_.select("doc_id", "content_sha256"))
+
+    // genuinely-new docs only: replay/re-ingest of a known doc_id must not
+    // duplicate state rows (slim anti-join on the id)
+    val t1Raw = graft.ingest.Ingest.ingest(corpusBatch)
       .select("doc_id", "repo", "lang", "content_sha256", "content")
-    cat.write(t1New, "incoming_t1")
-    val t1NewD = cat.read(spark, "incoming_t1")
+      .dropDuplicates("doc_id")
+    val t1Fresh = docsOld match {
+      case Some(old) => t1Raw.join(old.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => t1Raw
+    }
+    cat.write(t1Fresh, "incoming_t1") // scratch, overwritten every batch
+    val t1New = cat.read(spark, "incoming_t1")
 
-    val sigsNew = DedupPipeline.signatures(spark, t1NewD, cfg)
-    cat.write(sigsNew, "incoming_sigs")
-    val sigsNewD = cat.read(spark, "incoming_sigs")
+    val sigsNew = DedupPipeline.signatures(spark, t1New, cfg)
+    // append-only writes: ONLY this batch's partition is touched
+    sigsNew.write.mode("overwrite").parquet(s"$stateDir/signatures/batch=$id")
+    val sigsNewD = spark.read.parquet(s"$stateDir/signatures/batch=$id")
     val bandsNew = graft.lsh.Banding.bandRows(sigsNewD, cfg)
+    bandsNew.write.mode("overwrite").parquet(s"$stateDir/bands/batch=$id")
+    t1New.select("doc_id", "content_sha256")
+      .write.mode("overwrite").parquet(s"$stateDir/docs/batch=$id")
 
-    val haveState = cat.exists(spark, "bands")
-    val bandsAll =
-      if (haveState) cat.read(spark, "bands").unionByName(bandsNew) else bandsNew
-    val sigsAll =
-      if (haveState) cat.read(spark, "signatures").unionByName(sigsNewD) else sigsNewD
-    val shaAll =
-      if (haveState)
-        cat.read(spark, "docs").select("doc_id", "content_sha256")
-          .unionByName(t1NewD.select("doc_id", "content_sha256"))
-      else t1NewD.select("doc_id", "content_sha256")
+    val bandsNewD = spark.read.parquet(s"$stateDir/bands/batch=$id")
+    val bandsAll = spark.read.parquet(s"$stateDir/bands")
+      .select("band", "band_hash", "doc_id")
+    val sigsAll = spark.read.parquet(s"$stateDir/signatures")
+      .select("doc_id", "minhash", "simhash")
+    val shaAll = spark.read.parquet(s"$stateDir/docs")
+      .select("doc_id", "content_sha256")
 
     // LSH candidates touching a new doc: equi-join new bands × all bands.
-    val lshCands = bandsNew.select(col("band"), col("band_hash"), col("doc_id").as("n"))
+    val lshCands = bandsNewD.select(col("band"), col("band_hash"), col("doc_id").as("n"))
       .join(bandsAll.select(col("band"), col("band_hash"), col("doc_id").as("m")),
         Seq("band", "band_hash"))
       .where(col("n") =!= col("m"))
@@ -72,7 +133,7 @@ object IncrementalDedup {
       .groupBy("a", "b").agg(min("src").as("src"))
 
     // exact dups touching a new doc
-    val exactCands = t1NewD.select(col("content_sha256"), col("doc_id").as("n"))
+    val exactCands = t1New.select(col("content_sha256"), col("doc_id").as("n"))
       .join(shaAll.select(col("content_sha256"), col("doc_id").as("m")), "content_sha256")
       .where(col("n") =!= col("m"))
       .select(least(col("n"), col("m")).as("a"), greatest(col("n"), col("m")).as("b"),
@@ -86,11 +147,9 @@ object IncrementalDedup {
       .groupBy("a", "b").agg(graft.lsh.CandidatePairs.strongestSrc.as("src"),
         max("est_jaccard").as("est_jaccard"))
 
-    // Commit protocol: state tables are read and replaced in the same
-    // batch, so each is written to `<name>_next` and atomically swapped in
-    // (delete + rename) only after all writes succeeded — a crash before
-    // the swap leaves the previous state intact and Structured Streaming
-    // replays the batch. (Iceberg's createOrReplace subsumes this in prod.)
+    // pairs: merge-rewrite through <name>_next + atomic swap; the groupBy
+    // dedup makes a replayed merge a no-op, so a crash anywhere before the
+    // commit marker is safe to re-run.
     val pairsAll =
       if (cat.exists(spark, "pairs"))
         cat.read(spark, "pairs").unionByName(verified).groupBy("a", "b")
@@ -100,33 +159,32 @@ object IncrementalDedup {
     val newPairCount = verified.count()
 
     cat.write(pairsAll, "pairs_next")
-    cat.write(bandsAll, "bands_next")
-    cat.write(sigsAll, "signatures_next")
-    cat.write(shaAll, "docs_next")
-    Seq("pairs", "bands", "signatures", "docs").foreach(swapIn(spark, stateDir, _))
-    val totalDocs = cat.read(spark, "docs").count()
+    swapIn(spark, stateDir, "pairs")
+    commit(spark, stateDir, id)
+    val totalDocs = spark.read.parquet(s"$stateDir/docs").count()
     BatchResult(newPairCount, totalDocs)
   }
 
   private def swapIn(spark: SparkSession, stateDir: String, name: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = new org.apache.hadoop.fs.Path(stateDir, name)
-    val next = new org.apache.hadoop.fs.Path(stateDir, s"${name}_next")
-    if (fs.exists(cur)) fs.delete(cur, true)
-    fs.rename(next, cur)
+    val f = fs(spark, stateDir)
+    val cur = new Path(stateDir, name)
+    val next = new Path(stateDir, s"${name}_next")
+    if (f.exists(cur)) f.delete(cur, true)
+    f.rename(next, cur)
   }
 
   /** Final clusters over the accumulated edge table. */
   def clusters(spark: SparkSession, stateDir: String): DataFrame = {
     val cat = new ParquetCatalog(stateDir)
-    val docs = cat.read(spark, "docs").select("doc_id")
+    val docs = spark.read.parquet(s"$stateDir/docs").select("doc_id")
     val mapping = graft.cc.ConnectedComponents.run(
       spark, cat.read(spark, "pairs").select("a", "b"))
     graft.cc.ConnectedComponents.assignAll(docs, mapping)
   }
 
-  /** Streaming entry: parquet file stream → foreachBatch incremental. */
+  /** Streaming entry: parquet file stream → foreachBatch incremental, with
+    * the engine's batch id threaded through for replay detection.
+    */
   def startStream(
       spark: SparkSession,
       inputDir: String,
@@ -137,8 +195,8 @@ object IncrementalDedup {
       .schema(schema)
       .parquet(inputDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(spark, batch, stateDir, cfg); ()
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(spark, batch, stateDir, cfg, id); ()
       }
       .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
       .start()

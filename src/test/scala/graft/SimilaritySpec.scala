@@ -42,9 +42,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val lsh = Similarity.lshTopK(spark, sfDir, k = 5, nQueries = 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = brute.intersect(lsh).size.toDouble / brute.size
-    // random-hyperplane LSH with 4x4-bit tables is coarse; it must still
-    // beat random pairing by a wide margin
-    assert(recall >= 0.3, s"LSH recall vs brute force: $recall")
+    // 16 tables × 4-bit blocks of the 64-bit sketch: generic top-k
+    // neighbors are weak (cos ≈ 0.3) so banding is tuned for recall
+    assert(recall >= 0.5, s"LSH recall vs brute force: $recall")
   }
 
   test("IVF top-k recall vs brute force") {
@@ -65,6 +65,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     got.groupBy(_._2).foreach { case (cid, ms) =>
       assert(ms.map(_._1).min === cid, s"cluster $cid not labeled by min member")
     }
+  }
+
+  test("embedding dup clusters invariant under bucket salting (tiny maxBucket)") {
+    // forcing every sketch bucket through the salted triangle scheme must
+    // not change the emitted cluster partition (same invariant SaltingSpec
+    // proves for the MinHash path, here via the shared generateJoin)
+    val base = Similarity.embeddingDupClusters(spark, sfDir, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    val salted = Similarity.embeddingDupClusters(spark, sfDir, threshold = 0.5, maxBucket = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(salted === base)
   }
 
   test("profile: dims constant, norms positive") {

@@ -28,6 +28,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         stateDir, cfg)
     }
 
+    // append-only state: each micro-batch wrote ONLY its own partition —
+    // per-batch write volume ∝ batch size, never O(corpus-so-far)
+    val docsByBatch = spark.read.parquet(s"$stateDir/docs")
+      .groupBy("batch").count().as[(Long, Long)].collect().toMap
+    assert(docsByBatch.keySet === Set(0L, 1L, 2L))
+    parts.zipWithIndex.foreach { case (chunk, i) =>
+      assert(docsByBatch(i.toLong) === chunk.size.toLong, s"batch $i rewrote state")
+    }
+    val bandsByBatch = spark.read.parquet(s"$stateDir/bands")
+      .groupBy("batch").count().as[(Long, Long)].collect().toMap
+    parts.zipWithIndex.foreach { case (chunk, i) =>
+      assert(bandsByBatch(i.toLong) <= chunk.size.toLong * (cfg.bands + cfg.simhashBlocks),
+        s"batch $i band partition larger than its own docs' bands")
+    }
+
+    // replaying a committed batch id is a no-op (exactly-once marker)
+    val before = new io.ParquetCatalog(stateDir).read(spark, "pairs").count()
+    val replay = IncrementalDedup.processBatch(spark,
+      spark.createDataFrame(parts.head).select("repo", "path", "commit", "lang", "content"),
+      stateDir, cfg, batchId = 0L)
+    assert(replay.newPairs === 0L)
+    assert(new io.ParquetCatalog(stateDir).read(spark, "pairs").count() === before)
+
+    // re-ingesting known docs under a FRESH batch id is also a no-op for
+    // state rows (anti-join on doc_id): no duplicate bands/docs appear
+    IncrementalDedup.processBatch(spark,
+      spark.createDataFrame(parts.head).select("repo", "path", "commit", "lang", "content"),
+      stateDir, cfg)
+    val docsAfter = spark.read.parquet(s"$stateDir/docs").count()
+    assert(docsAfter === corpus.size.toLong, "re-ingest duplicated doc state")
+
     val t1 = ingest.Ingest.ingest(
       spark.createDataFrame(corpus).select("repo", "path", "commit", "lang", "content"))
     val batch = DedupPipeline.run(spark, t1, cfg, withSuffixPass = false)

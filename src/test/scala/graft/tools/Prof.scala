@@ -106,7 +106,8 @@ object ProfPhases {
       println(f"phase $name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
     }
     val mult = sys.env.getOrElse("P_MULT", "20").toInt
-    val t1 = graft.Bench.benchT1(spark, "/root/testdata/sf0.1", mult)
+    val dupMode = sys.env.getOrElse("SPARK_GRAFT_DUPMODE", "mixed")
+    val t1 = graft.Bench.benchT1(spark, "/root/testdata/sf0.1", mult, dupMode)
       .repartition(cpus.toInt * 2).persist()
     println(s"docs=${t1.count()}")
     val t1d = time("t1_distinct")(graft.DedupPipeline.distinctByContent(t1).persist())
