@@ -360,6 +360,16 @@ object SparkEntry {
       "SELECT substr(text, 1, 40) AS prefix40, count(*) AS cnt, min(doc_id) AS rep FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY prefix40",
     "q_join5_region" ->
       "SELECT r_name, n_name, count(*) AS n_items, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS rev_c4 FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE p_size <= 20 GROUP BY 1, 2 ORDER BY 1, 2",
+    // lang-ID is a pure column expression on both sides; the stopword lists
+    // must stay in lockstep with graft.extra.Stopwords. The scores are exact
+    // integer-count divisions, so IEEE doubles compare bit-equal.
+    "text_lang_id" ->
+      raw"""WITH t AS (SELECT doc_id, lang AS lang_declared, regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents), s AS (SELECT doc_id, lang_declared, len(list_filter(tk, x -> x IN ('the','of','and','a','to','in','is','it','you','that','he','was','for','on','are','with','as','i','his','they'))) * 1.0 / len(tk) AS score_en, len(list_filter(tk, x -> x IN ('der','die','das','und','ist','ich','nicht','ein','eine','zu','mit','auf','für','von','sie','er','wir'))) * 1.0 / len(tk) AS score_de, len(list_filter(tk, x -> x IN ('le','la','les','et','est','je','ne','pas','un','une','de','du','des','que','qui','dans','pour','vous'))) * 1.0 / len(tk) AS score_fr FROM t) SELECT doc_id, lang_declared, CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en' WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END AS lang_pred, greatest(score_en, score_de, score_fr) AS confidence FROM s ORDER BY doc_id""",
+    // mm_decode round-trips the synthetic binary assets (header encode →
+    // kernel decode); every decoded field is derivable from the asset
+    // construction rule, so DuckDB can check the full plumbing.
+    "mm_decode" ->
+      "SELECT doc_id AS asset_id, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, CAST(16 + doc_id % 64 AS INTEGER) AS width, CAST(16 + doc_id % 48 AS INTEGER) AS height, CAST(12 + strlen(text) AS BIGINT) AS n_bytes, true AS valid FROM documents ORDER BY asset_id",
     "corpus_filter" ->
       "SELECT 'doc/' || doc_id AS path FROM documents WHERE lang = 'en' AND strlen(text) BETWEEN 100 AND 400 ORDER BY path",
     "doc_sha256" ->

@@ -29,7 +29,8 @@ final case class Signature(
 final case class BandRow(doc_id: Long, band: Int, band_hash: Long)
 
 /** T5/T6 — candidate / verified pair. Canonical orientation a < b.
-  * src priority happens to be alphabetical: exact < minhash < simhash < suffix.
+  * src priority (strongest wins): exact < suffix < minhash < simhash —
+  * by-construction sources outrank LSH (see CandidatePairs.strongestSrc).
   */
 final case class Pair(a: Long, b: Long, src: String)
 
@@ -48,4 +49,10 @@ final case class SuffixPair(a: Long, b: Long, shared_len: Int)
   */
 final case class BandedDoc(
     band: Int, band_hash: Long, i: Int, j: Int, doc_id: Long, salt: Int)
+
+/** Per-(band, band_hash) streaming-LSH state: doc ids seen in the bucket;
+  * `stopped` buckets crossed the stop cap and emit nothing further (the
+  * streaming analogue of batch stop-bands — state is dropped, not grown).
+  */
+final case class BucketState(docs: Array[Long], stopped: Boolean)
 

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.conf.DedupConfig
+import graft.model.CorpusRow
+import graft.streaming.StreamingLsh
+import graft.testutil.FixtureGen
+
+/** Streaming LSH with per-bucket flatMapGroupsWithState (SURVEY §2.8 row
+  * 44): candidates emitted in-stream across micro-batches must equal the
+  * batch pair generator's set over the same docs (same kernels, same
+  * banding, same stop rule; fixture buckets stay under the stop cap, where
+  * the two cap semantics coincide).
+  */
+class StreamingLshSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val cfg = DedupConfig.default
+  private lazy val corpus = FixtureGen.corpus(400, 13L)
+
+  test("stateful in-stream candidates == batch candidate set over the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CorpusRow]
+    val pairs = StreamingLsh.candidateStream(spark, input.toDF(), cfg)
+    val q = pairs.writeStream
+      .format("memory")
+      .queryName("stream_lsh_pairs")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      corpus.grouped((corpus.size + 2) / 3).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("stream_lsh_pairs")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+
+    // batch twin: same full doc set (no sha-distinct here — the stream
+    // bands every doc), groupBy-based generator
+    val t1 = ingest.Ingest.ingest(
+      spark.createDataFrame(corpus).select("repo", "path", "commit", "lang", "content"))
+    val sigs = DedupPipeline.signatures(spark, t1, cfg)
+    val (batchPairs, _) = lsh.CandidatePairs.generate(
+      spark, lsh.Banding.bandRows(sigs, cfg), cfg)
+    val expected = batchPairs.select("a", "b").as[(Long, Long)].collect().toSet
+
+    assert(streamed === expected,
+      s"extra=${(streamed -- expected).take(5)} missing=${(expected -- streamed).take(5)}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("stop cap tombstones a hot bucket: no quadratic state, no emissions past the cap") {
+    implicit val sqlCtx = spark.sqlContext
+    // 30 identical docs → identical signatures → every bucket is hot under
+    // a tiny cap; with stopBandSize=10 the stream must emit only the pairs
+    // generated before each bucket crossed the cap (here: batch 1 alone)
+    val tiny = cfg.copy(stopBandSize = 10, maxBandSize = 5)
+    val docs = (0 until 30).map(i =>
+      CorpusRow("r", s"f$i.txt", "c", "scala", "identical content tokens " * 20))
+    val input = MemoryStream[CorpusRow]
+    val q = StreamingLsh.candidateStream(spark, input.toDF(), tiny)
+      .writeStream.format("memory").queryName("stream_lsh_hot")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs.take(8)); q.processAllAvailable()   // under cap: C(8,2) pairs/bucket
+      input.addData(docs.drop(8)); q.processAllAvailable()   // crosses cap: tombstoned, 0 new
+    } finally q.stop()
+    val got = spark.table("stream_lsh_hot").select("a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(got.size === 8 * 7 / 2, s"expected C(8,2)=28 distinct pairs, got ${got.size}")
+  }
+}
