@@ -130,6 +130,24 @@ object ProfPhases {
   }
 }
 
+// appended: write an inflated corpus parquet for staged-CLI benchmarks
+object WriteCorpus {
+  def main(args: Array[String]): Unit = {
+    val Array(out) = args.take(1)
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val mult = sys.env.getOrElse("P_MULT", "100").toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_DUPMODE", "clique")
+    graft.Bench.benchT1(spark, "/root/testdata/sf0.1", mult, mode)
+      .select("repo", "path", "commit", "lang", "content")
+      .write.mode("overwrite").parquet(out)
+    println(s"written ${spark.read.parquet(out).count()} rows to $out")
+    spark.stop()
+  }
+}
+
 // appended: plan inspection for pushdown/broadcast evidence
 object ProfPlans {
   def main(args: Array[String]): Unit = {
@@ -145,6 +163,15 @@ object ProfPlans {
     show("q_filter_pushdown", graft.SparkEntry.queries("q_filter_pushdown")(spark, d))
     show("q_join_agg", graft.SparkEntry.queries("q_join_agg")(spark, d))
     show("q_topk", graft.SparkEntry.queries("q_topk")(spark, d))
+    show("q_join5_region", graft.SparkEntry.queries("q_join5_region")(spark, d))
+    // verify path: slim parity prune feeding the fat array join
+    val cfg = graft.conf.DedupConfig.default
+    val t1 = graft.ingest.Ingest.ingest(graft.ingest.Ingest.corpusFromDocuments(spark, d))
+    val sigs = graft.DedupPipeline.signatures(spark, t1, cfg)
+    val bands = graft.lsh.Banding.bandRows(sigs, cfg)
+    val (pairs, _) = graft.lsh.CandidatePairs.generateJoin(spark, bands, cfg)
+    show("pair_gen_slim_join", pairs)
+    show("verify_two_phase", graft.verify.Verifier.verifyLshPairs(pairs, sigs, cfg))
     spark.stop()
   }
 }
