@@ -174,6 +174,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-doc novelty degree: how many verified near-dup neighbors each doc
+    // has (0 = first story) — the per-doc view of the novelty operator
+    "novelty_scores" -> ((s, d) => {
+      val res = pipeline(s, d)
+      val deg = res.verifiedPairs.select(col("a").as("doc_id"))
+        .unionByName(res.verifiedPairs.select(col("b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_neighbors"))
+      res.t1.select(col("doc_id"), origId(col("path")).as("orig"))
+        .join(deg, Seq("doc_id"), "left")
+        .select(col("orig").as("doc_id"),
+          coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+          (coalesce(col("n_neighbors"), lit(0L)) === 0).cast("int").as("is_first_story"))
+        .orderBy("doc_id")
+    }),
+
     // ---- ingest / exact dedup (Q/sql) ----
     "doc_sha256" -> ((s, d) =>
       s.read.parquet(s"$d/documents.parquet")
@@ -325,6 +340,18 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
           col("n"), col("sum_cents"))
         .orderBy("status", "prio")),
+    // explicit GROUPING SETS (distinct from rollup/cube lattices), via the
+    // SQL entry point — exercises spark.sql over a registered view
+    "q_grouping_sets" -> ((s, d) => {
+      s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS prio,
+               count(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY status, prio""")
+    }),
     "q_events_hourly" -> ((s, d) =>
       s.read.parquet(s"$d/events.parquet")
         // ts is TIMESTAMP_NTZ in the parquet: cast to session-TZ (UTC)
@@ -358,6 +385,10 @@ object SparkEntry {
       s"WITH RECURSIVE $dupCte SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT a FROM dup UNION SELECT b FROM dup) ORDER BY doc_id",
     "norm_dup_groups" ->
       "SELECT substr(text, 1, 40) AS prefix40, count(*) AS cnt, min(doc_id) AS rep FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY prefix40",
+    "novelty_scores" ->
+      s"WITH RECURSIVE $dupCte, deg AS (SELECT a AS doc_id FROM dup UNION ALL SELECT b FROM dup) SELECT d.doc_id, count(deg.doc_id) AS n_neighbors, CAST(count(deg.doc_id) = 0 AS INTEGER) AS is_first_story FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id GROUP BY d.doc_id ORDER BY d.doc_id",
+    "q_grouping_sets" ->
+      "SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) ORDER BY status, prio",
     "q_join5_region" ->
       "SELECT r_name, n_name, count(*) AS n_items, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS rev_c4 FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE p_size <= 20 GROUP BY 1, 2 ORDER BY 1, 2",
     // lang-ID is a pure column expression on both sides; the stopword lists
