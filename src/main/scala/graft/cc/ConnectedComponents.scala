@@ -28,11 +28,20 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
       maxLocalEdges: Long = 5000000L): DataFrame = {
     // Orient big → small; drop self-loops.
-    var e = edges
+    val base = edges
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
       .localCheckpoint(true)
+
+    // Fast path: an edge list already small enough for the driver skips the
+    // distinct shuffle AND the star rounds entirely — union-find tolerates
+    // duplicate edges, and the non-distinct count only over-estimates (so
+    // the cutoff stays conservative). Saves ~2 fixed Spark jobs per run,
+    // which dominated CC wall time on small graphs at every core count.
+    if (maxLocalEdges > 0 && base.count() <= maxLocalEdges)
+      return localFinish(spark, base)
+
+    var e = base.distinct().localCheckpoint(true)
 
     var converged = false
     var iter = 0

@@ -130,6 +130,70 @@ object ProfPhases {
   }
 }
 
+// appended: A/B the pair self-join physical strategy (SMJ vs shuffled hash)
+// on the slim 3-long rows; salting bounds per-key groups so a hash build is
+// bounded per partition, but SMJ+AQE won round 1 — re-test post-diet.
+object ProfPairsAB {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("P_CPUS", "16")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val cfg = graft.conf.DedupConfig.default
+    val mult = sys.env.getOrElse("P_MULT", "100").toInt
+    val t1 = graft.Bench.benchT1(spark, "/root/testdata/sf0.1", mult)
+      .repartition(cpus.toInt * 2).persist()
+    println(s"docs=${t1.count()}")
+    val t1d = graft.DedupPipeline.distinctByContent(t1).persist()
+    val sigs = graft.DedupPipeline.signatures(spark, t1d, cfg).persist()
+    sigs.count()
+    val bands = graft.lsh.Banding.bandRows(sigs, cfg).persist()
+    bands.count()
+    def run(name: String, hint: String): Unit = {
+      val counts = bands.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
+      val stop = counts.where(col("cnt") > cfg.stopBandSize)
+      val hot = counts.where(col("cnt") > cfg.maxBandSize && col("cnt") <= cfg.stopBandSize)
+        .select(col("band"), col("band_hash"),
+          ceil(col("cnt") / cfg.maxBandSize.toDouble).cast("int").as("s"))
+      val salted = bands
+        .join(broadcast(stop.select("band", "band_hash")), Seq("band", "band_hash"), "left_anti")
+        .join(broadcast(hot), Seq("band", "band_hash"), "left")
+        .na.fill(Map("s" -> 1))
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), col("s")).cast("int"))
+      val exploded = salted
+        .select(col("band"), col("band_hash"), col("doc_id"), col("salt"),
+          explode(transform(sequence(lit(0), col("s") - 1),
+            x => struct(least(x, col("salt")).as("i"), greatest(x, col("salt")).as("j")))).as("bp"))
+        .select(col("band_hash").as("bh"),
+          (col("band").cast("long") + shiftleft(col("bp.i").cast("long"), 8)
+            + shiftleft(col("bp.j").cast("long"), 36)).as("pk"),
+          col("doc_id"), col("salt"), col("bp.i").as("i"), col("bp.j").as("j"))
+      val l0 = exploded.where(col("salt") === col("i"))
+        .select(col("bh"), col("pk"), col("doc_id").as("dl"))
+      val l = if (hint.nonEmpty) l0.hint(hint) else l0
+      val r = exploded.where(col("salt") === col("j"))
+        .select(col("bh").as("bh_r"), col("pk").as("pk_r"), col("doc_id").as("dr"))
+      val iOf = shiftrightunsigned(col("pk"), 8).bitwiseAND(lit((1L << 28) - 1))
+      val jOf = shiftrightunsigned(col("pk"), 36)
+      val pairs = l.join(r,
+        col("bh") === col("bh_r") && col("pk") === col("pk_r") &&
+          (iOf =!= jOf || col("dl") < col("dr")) && col("dl") =!= col("dr"))
+        .select(least(col("dl"), col("dr")).as("a"), greatest(col("dl"), col("dr")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("m"))
+      val t0 = System.nanoTime()
+      val n = pairs.count()
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s pairs=$n")
+    }
+    for (rep <- 1 to 3; (name, hint) <- Seq("smj" -> "", "shj" -> "shuffle_hash"))
+      run(s"$name rep$rep", hint)
+    spark.stop()
+  }
+}
+
 // appended: write an inflated corpus parquet for staged-CLI benchmarks
 object WriteCorpus {
   def main(args: Array[String]): Unit = {
