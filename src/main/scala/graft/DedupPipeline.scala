@@ -142,7 +142,16 @@ object DedupPipeline {
     res.t1.join(endpoints, Seq("doc_id"), "left_anti").select("doc_id")
   }
 
-  /** One representative row (min doc_id) per distinct content_sha256. */
+  /** One representative row (min doc_id) per distinct content_sha256.
+    *
+    * Scale note: this is the pipeline's ONE full-content shuffle (the
+    * join-back moves content rows by key). The alternative — sign ALL docs
+    * in the narrow kernel and dedup the 1 KB signature rows instead — would
+    * avoid it, but the suffix/containment pass needs representative CONTENT
+    * anyway, so materializing the rep table once (checkpointed in the
+    * staged path) is the cheaper total: every downstream stage then reads
+    * the ~dedup'd corpus without touching the identical-content mass.
+    */
   def distinctByContent(t1: DataFrame): DataFrame = {
     val reps = t1.groupBy("content_sha256").agg(min("doc_id").as("doc_id"))
     t1.join(reps, Seq("content_sha256", "doc_id"))

@@ -47,6 +47,14 @@ class CCSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("fast local path tolerates duplicate edges and self-loops") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L), (9L, 9L))
+    val got = ConnectedComponents.run(spark, edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    // 9 only appears as a self-loop → not a vertex of any real edge
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("empty and single-edge inputs") {
     val empty = ConnectedComponents.run(spark, Seq.empty[(Long, Long)].toDF("a", "b"))
     assert(empty.count() === 0)
