@@ -271,25 +271,13 @@ object Similarity extends Serializable {
     * fewer/wider tables (8×8) when hunting near-dups (cos ≥ 0.9).
     */
   def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 20,
-      nbits: Int = 64, tables: Int = 16, maxBucket: Int = 100000): DataFrame = {
+      nbits: Int = 64, tables: Int = 16, maxBucket: Int = 100000,
+      multiProbe: Boolean = false): DataFrame = {
     import spark.implicits._
     val emb = embDs(spark, sfDir)
-    val blocks = embBandRows(spark, emb, nbits, tables)
-      .toDF("table", "bucket", "vec_id")
-
-    val stop = blocks.groupBy("table", "bucket").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") > maxBucket).select("table", "bucket")
-    val kept = blocks.join(broadcast(stop), Seq("table", "bucket"), "left_anti")
-
     val queries: Array[Emb] = emb.orderBy("vec_id").limit(nQueries).collect()
-    val qIds = queries.map(q => Tuple1(q.vec_id)).toSeq.toDF("query_id")
-    val qBlocks = kept.join(broadcast(qIds), col("vec_id") === col("query_id"))
-      .select(col("query_id"), col("table"), col("bucket"))
-
-    val cands = kept.join(broadcast(qBlocks), Seq("table", "bucket"))
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
+    val cands = lshCandidates(spark, emb, queries.map(_.vec_id), nbits, tables,
+      maxBucket, multiProbe)
 
     // neighbor vectors re-attached post-dedup; query vectors via closure map
     val qv = queries.map(q => (q.vec_id, q.embedding)).toMap
@@ -303,5 +291,44 @@ object Similarity extends Serializable {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .orderBy("query_id", "rank")
+  }
+
+  /** Candidate (query_id, neighbor_id) pairs for the LSH top-k paths.
+    *
+    * `multiProbe` implements query-side multi-probe (Lv et al., VLDB 2007):
+    * each query table-block additionally probes every bucket at Hamming
+    * distance 1 — only the QUERY side fans out (×(blockBits+1) rows over a
+    * ~20-query broadcast), the corpus keeps one bucket per table. This buys
+    * the recall of many narrow tables at the candidate cost of few wide
+    * ones: e.g. 8×8-bit multi-probe touches ≈ tables·(blockBits+1)/2^blockBits
+    * ≈ 28% of the corpus per query vs ≈ 100% for 16×4-bit single-probe, at
+    * moderately lower recall — the knob to turn when n makes wide buckets
+    * (4-bit = n/16 candidates per table) unaffordable.
+    */
+  def lshCandidates(spark: SparkSession, emb: Dataset[Emb], queryIds: Array[Long],
+      nbits: Int, tables: Int, maxBucket: Int, multiProbe: Boolean): DataFrame = {
+    import spark.implicits._
+    val blockBits = nbits / tables
+    val blocks = embBandRows(spark, emb, nbits, tables)
+      .toDF("table", "bucket", "vec_id")
+
+    val stop = blocks.groupBy("table", "bucket").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > maxBucket).select("table", "bucket")
+    val kept = blocks.join(broadcast(stop), Seq("table", "bucket"), "left_anti")
+
+    val qIds = queryIds.map(Tuple1(_)).toSeq.toDF("query_id")
+    val qExact = kept.join(broadcast(qIds), col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("table"), col("bucket"))
+    val qProbes =
+      if (!multiProbe) qExact
+      else qExact.select(col("query_id"), col("table"),
+        explode(array(col("bucket") +:
+          (0 until blockBits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*))
+          .as("bucket"))
+
+    kept.join(broadcast(qProbes), Seq("table", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
   }
 }

@@ -47,6 +47,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"LSH recall vs brute force: $recall")
   }
 
+  test("multi-probe 8x8 trades bounded recall loss for far fewer candidates than 16x4") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[Similarity.Emb]
+    val qids = emb.orderBy("vec_id").limit(10).collect().map(_.vec_id)
+    val wide = Similarity.lshCandidates(spark, emb, qids, 64, 16, 100000, multiProbe = false)
+    val mp = Similarity.lshCandidates(spark, emb, qids, 64, 8, 100000, multiProbe = true)
+    val nWide = wide.count(); val nMp = mp.count()
+    assert(nMp < nWide, s"multi-probe candidates ($nMp) should undercut 16x4 ($nWide)")
+
+    val brute = Similarity.bruteForceTopK(spark, sfDir, k = 5, nQueries = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.lshTopK(spark, sfDir, k = 5, nQueries = 10,
+      tables = 8, multiProbe = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.35, s"multi-probe recall vs brute force: $recall (cands=$nMp vs $nWide)")
+  }
+
   test("IVF top-k recall vs brute force") {
     val brute = Similarity.bruteForceTopK(spark, sfDir, k = 5, nQueries = 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
