@@ -95,12 +95,11 @@ object Dedup {
       StageMeta.record(spark, cat, runId, "stop_bands", chainFp, 0L)
       val exact = lsh.CandidatePairs.exactPairs(t1)
       val sfx = suffix.SuffixPass.containmentPairs(spark, t1d, cfg).select("a", "b", "src")
-      // strongestSrc (not alphabetical min): a pair found by BOTH the suffix
+      // strongest (not alphabetical min): a pair found by BOTH the suffix
       // pass and an LSH band must stay 'suffix' so the verified_pairs stage
       // treats it as verified-by-construction (matches DedupPipeline.run
       // and the in-repo oracle, which verify LSH pairs before the union).
-      lshPairs.unionByName(exact).unionByName(sfx)
-        .groupBy("a", "b").agg(lsh.CandidatePairs.strongestSrc.as("src"))
+      lsh.CandidatePairs.strongest(lshPairs.unionByName(exact).unionByName(sfx))
     }
     if (done("candidate_pairs")) return StagedResult(computed.toSeq, pairs)
 
@@ -109,9 +108,7 @@ object Dedup {
         pairs.where(col("src").isin("minhash", "simhash")), sigs, cfg)
       val byConstruction = pairs.where(col("src").isin("exact", "suffix"))
         .withColumn("est_jaccard", lit(1.0d)).select("a", "b", "est_jaccard", "src")
-      lshSide.unionByName(byConstruction)
-        .groupBy("a", "b")
-        .agg(lsh.CandidatePairs.strongestSrc.as("src"), max("est_jaccard").as("est_jaccard"))
+      lsh.CandidatePairs.strongestWithEst(lshSide.unionByName(byConstruction))
     }
     if (done("verified_pairs")) return StagedResult(computed.toSeq, verified)
 

@@ -98,9 +98,7 @@ object DedupPipeline {
     val unionAll =
       if (withSuffixPass) lshVerified.unionByName(exactV).unionByName(suffixV)
       else lshVerified.unionByName(exactV)
-    val verified = unionAll
-      .groupBy("a", "b")
-      .agg(lsh.CandidatePairs.strongestSrc.as("src"), max("est_jaccard").as("est_jaccard"))
+    val verified = lsh.CandidatePairs.strongestWithEst(unionAll)
 
     // Exact-dup members are pendant vertices: LSH/suffix pairs only touch
     // sha-reps, so a member's sole edge is (rep, member). CC therefore runs
@@ -118,10 +116,9 @@ object DedupPipeline {
         min(col("doc_id")).as("rep_doc"))
 
     // All candidate sources, canonicalized (T5) — for reporting/fixtures.
-    val candidates =
-      (if (withSuffixPass) lshPairs.unionByName(exact).unionByName(suffix)
-       else lshPairs.unionByName(exact))
-        .groupBy("a", "b").agg(lsh.CandidatePairs.strongestSrc.as("src"))
+    val candidates = lsh.CandidatePairs.strongest(
+      if (withSuffixPass) lshPairs.unionByName(exact).unionByName(suffix)
+      else lshPairs.unionByName(exact))
 
     Result(t1, sigs, bands, candidates, verified, clusters, stats, stopBands)
   }

@@ -38,9 +38,28 @@ object CandidatePairs {
     * collides in one band must keep src='suffix', or the staged path would
     * route it through the est/hamming check and silently drop it —
     * alphabetical min("src") had exactly that bug (suffix > minhash).
+    *
+    * The aggregation runs on a fixed-width INT priority, not the string:
+    * min over a string column plans a SortAggregate (strings aren't
+    * mutable-agg-buffer types), which double-sorts tens of millions of pair
+    * rows; min(int) stays a HashAggregate with map-side partials.
     */
-  def strongestSrc: org.apache.spark.sql.Column =
-    expr("min_by(src, CASE src WHEN 'exact' THEN 0 WHEN 'suffix' THEN 1 WHEN 'minhash' THEN 2 ELSE 3 END)")
+  private val srcPriority: org.apache.spark.sql.Column =
+    expr("CASE src WHEN 'exact' THEN 0 WHEN 'suffix' THEN 1 WHEN 'minhash' THEN 2 ELSE 3 END")
+
+  private def srcFromPriority(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(lit("exact"), lit("suffix"), lit("minhash"), lit("simhash")), c + 1)
+
+  /** Dedup (a,b) keeping the strongest src. Input columns: a, b, src. */
+  def strongest(pairs: DataFrame): DataFrame =
+    pairs.groupBy("a", "b").agg(min(srcPriority).as("srcp"))
+      .select(col("a"), col("b"), srcFromPriority(col("srcp")).as("src"))
+
+  /** Same, also carrying max est_jaccard. Input: a, b, est_jaccard, src. */
+  def strongestWithEst(pairs: DataFrame): DataFrame =
+    pairs.groupBy("a", "b")
+      .agg(min(srcPriority).as("srcp"), max("est_jaccard").as("est_jaccard"))
+      .select(col("a"), col("b"), col("est_jaccard"), srcFromPriority(col("srcp")).as("src"))
 
   /** @return (candidate pairs `a,b,src` deduped with src priority,
     *          stop-band log `band,band_hash,cnt`)
@@ -97,12 +116,7 @@ object CandidatePairs {
         }
       }
 
-    // Canonical dedup keeping the strongest source; within the two LSH
-    // sources alphabetical min equals the priority order (minhash < simhash).
-    val pairs = rawPairs.toDF()
-      .groupBy("a", "b").agg(min("src").as("src"))
-
-    (pairs, stop)
+    (strongest(rawPairs.toDF()), stop)
   }
 
   /** Tungsten variant of [[generate]]: the identical salted triangle
@@ -167,11 +181,10 @@ object CandidatePairs {
       col("bh") === col("bh_r") && col("pk") === col("pk_r") &&
         (iOf =!= jOf || col("dl") < col("dr")) &&
         col("dl") =!= col("dr"))
-    val pairs = joined.select(
+    val pairs = strongest(joined.select(
       least(col("dl"), col("dr")).as("a"),
       greatest(col("dl"), col("dr")).as("b"),
-      when(col("pk").bitwiseAND(lit(255L)) < cfg.bands, "minhash").otherwise("simhash").as("src"))
-      .groupBy("a", "b").agg(min("src").as("src"))
+      when(col("pk").bitwiseAND(lit(255L)) < cfg.bands, "minhash").otherwise("simhash").as("src")))
 
     (pairs, stop)
   }

@@ -130,7 +130,7 @@ object IncrementalDedup {
       .where(col("n") =!= col("m"))
       .select(least(col("n"), col("m")).as("a"), greatest(col("n"), col("m")).as("b"),
         when(col("band") < cfg.bands, "minhash").otherwise("simhash").as("src"))
-      .groupBy("a", "b").agg(min("src").as("src"))
+      .transform(graft.lsh.CandidatePairs.strongest)
 
     // exact dups touching a new doc
     val exactCands = t1New.select(col("content_sha256"), col("doc_id").as("n"))
@@ -140,21 +140,18 @@ object IncrementalDedup {
         lit("exact").as("src"))
       .distinct()
 
-    val verified = graft.verify.Verifier
-      .verifyLshPairs(lshCands, sigsAll, cfg)
-      .unionByName(exactCands.withColumn("est_jaccard", lit(1.0d))
-        .select("a", "b", "est_jaccard", "src"))
-      .groupBy("a", "b").agg(graft.lsh.CandidatePairs.strongestSrc.as("src"),
-        max("est_jaccard").as("est_jaccard"))
+    val verified = graft.lsh.CandidatePairs.strongestWithEst(
+      graft.verify.Verifier.verifyLshPairs(lshCands, sigsAll, cfg)
+        .unionByName(exactCands.withColumn("est_jaccard", lit(1.0d))
+          .select("a", "b", "est_jaccard", "src")))
 
     // pairs: merge-rewrite through <name>_next + atomic swap; the groupBy
     // dedup makes a replayed merge a no-op, so a crash anywhere before the
     // commit marker is safe to re-run.
     val pairsAll =
       if (cat.exists(spark, "pairs"))
-        cat.read(spark, "pairs").unionByName(verified).groupBy("a", "b")
-          .agg(graft.lsh.CandidatePairs.strongestSrc.as("src"),
-            max("est_jaccard").as("est_jaccard"))
+        graft.lsh.CandidatePairs.strongestWithEst(
+          cat.read(spark, "pairs").unionByName(verified))
       else verified
     val newPairCount = verified.count()
 

@@ -54,6 +54,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       val p = plan(pairs)
       assert(p.contains("SortMergeJoin [bh"), "pair generation should plan SMJ on bh/pk")
       assert(p.contains("pk"), "join key must be the packed band/i/j long")
+      assert(!p.contains("SortAggregate"),
+        "pair collapse must stay a HashAggregate (int priority, not min(string))")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
