@@ -231,6 +231,12 @@ object SparkEntry {
     // ---- multimodal binary-column plumbing (decode stubbed; rows-only) ----
     "mm_decode" -> ((s, d) =>
       extra.Multimodal.decode(s, extra.Multimodal.assets(s, d)).toDF().orderBy("asset_id")),
+    "mm_frames" -> ((s, d) =>
+      // frame sampling: n_frames is pure arithmetic over the payload length,
+      // so DuckDB can check the strided-window kernel end-to-end
+      extra.Multimodal.frameSample(s, extra.Multimodal.assets(s, d)).toDF()
+        .select(col("asset_id"), col("n_frames"))
+        .orderBy("asset_id")),
     "mm_features" -> ((s, d) =>
       // scalar digest per row (raw float arrays crash the driver compare)
       extra.Multimodal.features(s, extra.Multimodal.assets(s, d)).toDF()
@@ -401,6 +407,10 @@ object SparkEntry {
     // construction rule, so DuckDB can check the full plumbing.
     "mm_decode" ->
       "SELECT doc_id AS asset_id, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, CAST(16 + doc_id % 64 AS INTEGER) AS width, CAST(16 + doc_id % 48 AS INTEGER) AS height, CAST(12 + strlen(text) AS BIGINT) AS n_bytes, true AS valid FROM documents ORDER BY asset_id",
+    // frames = strided windows over the 12-byte-header-stripped payload:
+    // count = min(maxFrames=8, floor((len-frameLen=32)/stride=256)+1)
+    "mm_frames" ->
+      "SELECT doc_id AS asset_id, CAST(CASE WHEN strlen(text) >= 32 THEN least(8, (strlen(text) - 32) // 256 + 1) ELSE 0 END AS INTEGER) AS n_frames FROM documents ORDER BY asset_id",
     "corpus_filter" ->
       "SELECT 'doc/' || doc_id AS path FROM documents WHERE lang = 'en' AND strlen(text) BETWEEN 100 AND 400 ORDER BY path",
     "doc_sha256" ->

@@ -30,19 +30,15 @@ final case class BandRow(doc_id: Long, band: Int, band_hash: Long)
 
 /** T5/T6 — candidate / verified pair. Canonical orientation a < b.
   * src priority (strongest wins): exact < suffix < minhash < simhash —
-  * by-construction sources outrank LSH (see CandidatePairs.strongestSrc).
+  * by-construction sources outrank LSH (see CandidatePairs.strongest).
+  * Verified pairs add est_jaccard:double; clusters are (doc_id,
+  * cluster_id = min member) — both stay DataFrames (no typed kernel ever
+  * consumes them, so no encoder case classes are needed).
   */
 final case class Pair(a: Long, b: Long, src: String)
 
-final case class VerifiedPair(a: Long, b: Long, est_jaccard: Double, src: String)
-
-/** T7 — cluster assignment; cluster_id = min doc_id in the component. */
-final case class ClusterRow(doc_id: Long, cluster_id: Long)
-
 /** Suffix-pass tokens: ordered (non-distinct) token hashes per doc. */
 final case class TokenDoc(doc_id: Long, tokens: Array[Long])
-
-final case class SuffixPair(a: Long, b: Long, shared_len: Int)
 
 /** Salted band row during candidate generation: (i, j) is the triangle
   * bucket-pair this replica participates in.
