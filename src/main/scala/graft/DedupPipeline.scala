@@ -98,7 +98,10 @@ object DedupPipeline {
     val unionAll =
       if (withSuffixPass) lshVerified.unionByName(exactV).unionByName(suffixV)
       else lshVerified.unionByName(exactV)
-    val verified = lsh.CandidatePairs.strongestWithEst(unionAll)
+    // verified/clusters/candidates feed several downstream consumers (stats,
+    // members, novelty, the driver's per-stage queries) — persist so the
+    // pair/verify/CC subtrees run once per session, not once per consumer
+    val verified = lsh.CandidatePairs.strongestWithEst(unionAll).persist()
 
     // Exact-dup members are pendant vertices: LSH/suffix pairs only touch
     // sha-reps, so a member's sole edge is (rep, member). CC therefore runs
@@ -107,7 +110,7 @@ object DedupPipeline {
     // CC graph free of the identical-content mass entirely.
     val repEdges = verified.where(col("src") =!= "exact").select("a", "b")
     val repMapping = cc.ConnectedComponents.run(spark, repEdges)
-    val clusters = attachMembers(t1, repMapping)
+    val clusters = attachMembers(t1, repMapping).persist()
 
     val stats = clusters.join(t1.select("doc_id", "repo"), "doc_id")
       .groupBy("cluster_id")
@@ -118,7 +121,7 @@ object DedupPipeline {
     // All candidate sources, canonicalized (T5) — for reporting/fixtures.
     val candidates = lsh.CandidatePairs.strongest(
       if (withSuffixPass) lshPairs.unionByName(exact).unionByName(suffix)
-      else lshPairs.unionByName(exact))
+      else lshPairs.unionByName(exact)).persist()
 
     Result(t1, sigs, bands, candidates, verified, clusters, stats, stopBands)
   }

