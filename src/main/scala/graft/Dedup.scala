@@ -54,15 +54,22 @@ object Dedup {
     val computed = scala.collection.mutable.ArrayBuffer.empty[String]
     var chainFp = Hashing.xxString(cfg.fingerprint + "|" + inputId, Hashing.DefaultSeed).toHexString
 
-    /** Compute-or-reuse one stage; returns the stage read back from disk. */
+    /** Compute-or-reuse one stage; returns the stage read back from disk.
+      * Row counts ride an `observe` on the write job itself (no extra pass
+      * over the written stage — re-reading a checkpoint to count it would
+      * double every stage's I/O at corpus scale).
+      */
     def stage(name: String)(build: => DataFrame): DataFrame = {
       chainFp = Hashing.xxString(chainFp + "|" + name, Hashing.DefaultSeed).toHexString
       val reusable = cat.exists(spark, name) &&
         StageMeta.lastFingerprint(spark, cat, name).contains(chainFp)
       if (!reusable) {
         val t0 = System.nanoTime()
-        cat.write(build, name)
-        StageMeta.record(spark, cat, runId, name, chainFp, (System.nanoTime() - t0) / 1000000)
+        val obs = org.apache.spark.sql.Observation(s"stage_${name}_$t0")
+        cat.write(build.observe(obs, count(lit(1)).as("rows")), name)
+        val rows = obs.get.get("rows").collect { case l: Long => l }.getOrElse(-1L)
+        StageMeta.record(spark, cat, runId, name, chainFp,
+          (System.nanoTime() - t0) / 1000000, rows)
         computed += name
       }
       cat.read(spark, name)
@@ -91,8 +98,10 @@ object Dedup {
       // with its own lineage row (same chain fingerprint as candidate_pairs
       // — it is a byproduct of exactly this computation) so a resumed run
       // can never pair a fresh pairs table with a stale stop-band log.
-      cat.write(stopBands, "stop_bands")
-      StageMeta.record(spark, cat, runId, "stop_bands", chainFp, 0L)
+      val obsStop = org.apache.spark.sql.Observation(s"stage_stop_bands_${System.nanoTime()}")
+      cat.write(stopBands.observe(obsStop, count(lit(1)).as("rows")), "stop_bands")
+      StageMeta.record(spark, cat, runId, "stop_bands", chainFp, 0L,
+        obsStop.get.get("rows").collect { case l: Long => l }.getOrElse(-1L))
       val exact = lsh.CandidatePairs.exactPairs(t1)
       val sfx = suffix.SuffixPass.containmentPairs(spark, t1d, cfg).select("a", "b", "src")
       // strongest (not alphabetical min): a pair found by BOTH the suffix

@@ -25,9 +25,12 @@ object StageMeta {
       ts: java.sql.Timestamp)
 
   /** Record lineage for a stage that was just written to `catalog`.
-    * Per-file row counts come from reading the written files back (grouped
-    * by `input_file_name`), byte sizes from the file system — honest
-    * numbers, not estimates.
+    *
+    * Row counts: pass `totalRows` observed DURING the write job (see
+    * [[observedWrite]]) — re-reading a checkpointed stage just to count it
+    * would double the I/O of every stage at corpus scale. When `totalRows`
+    * is negative (small/test callers), fall back to the honest read-back
+    * per-file counts. Byte sizes always come from the file system (free).
     */
   def record(
       spark: SparkSession,
@@ -35,28 +38,38 @@ object StageMeta {
       runId: String,
       stage: String,
       fingerprint: String,
-      wallMs: Long): Unit = {
+      wallMs: Long,
+      totalRows: Long = -1L): Unit = {
     import spark.implicits._
     val loc = catalog.location(stage)
     val p = new Path(loc)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).filter(f => f.getPath.getName.endsWith(".parquet"))
     val perFile: Map[String, Long] =
-      if (files.isEmpty) Map.empty
+      if (files.isEmpty || totalRows >= 0) Map.empty
       else spark.read.parquet(loc)
         .groupBy(input_file_name().as("partition_file"))
         .agg(count(lit(1)).as("rows"))
         .as[(String, Long)].collect().toMap
     val now = new java.sql.Timestamp(System.currentTimeMillis())
     val rowsOut0 = files.toSeq.map { f =>
-      val rows = perFile.collect { case (k, v) if k.endsWith(f.getPath.getName) => v }.sum
+      // with observed totals the per-file row split is unknown (-1); bytes
+      // stay per-file from the FS
+      val rows =
+        if (totalRows >= 0) -1L
+        else perFile.collect { case (k, v) if k.endsWith(f.getPath.getName) => v }.sum
       MetaRow(runId, stage, f.getPath.getName, rows, f.getLen, fingerprint, wallMs, now)
     }
+    val totalRow =
+      if (totalRows >= 0)
+        Seq(MetaRow(runId, stage, "_total", totalRows,
+          files.map(_.getLen).sum, fingerprint, wallMs, now))
+      else Nil
     // An empty stage table (e.g. stop_bands with no hot groups) may write
     // zero part files — still record one lineage row so resume bookkeeping
     // can see the stage/fingerprint.
     val rowsOut =
-      if (rowsOut0.nonEmpty) rowsOut0
+      if (rowsOut0.nonEmpty || totalRow.nonEmpty) rowsOut0 ++ totalRow
       else Seq(MetaRow(runId, stage, "_empty", 0L, 0L, fingerprint, wallMs, now))
     val metaDf = spark.createDataFrame(rowsOut)
     metaDf.write.mode("append").parquet(s"${catalog.location(StageMetaDir)}")
