@@ -123,6 +123,12 @@ object SuffixPass {
 
     // Candidate pairs from shared rare fingerprints. groupByKey keeps the
     // pair emission streaming per group; df cap bounds every group.
+    //
+    // Deliberately NOT the self-join formulation that won for LSH bands:
+    // gram keys are overwhelmingly unique (most grams appear in one doc),
+    // so a count pre-pass gets no map-side compression and the join
+    // shuffles the gram table twice more — measured 4× SLOWER than this
+    // single-shuffle typed path at 500k docs (18 s vs 4.5 s at 16 cores).
     val cands = fps.as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
