@@ -85,7 +85,8 @@ object ProfE2E {
   }
 }
 
-// appended: per-phase e2e decomposition
+// appended: per-phase e2e decomposition (+ shuffle-bytes per phase — the
+// bandwidth evidence behind BASELINE.md's single-box scaling ceiling)
 object ProfPhases {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("P_CPUS", "32")
@@ -101,9 +102,25 @@ object ProfPhases {
     spark.sparkContext.setLogLevel("WARN")
     val cfg = graft.conf.DedupConfig.default
     import org.apache.spark.sql.functions._
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong()
+    val shufRead = new java.util.concurrent.atomic.AtomicLong()
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        cpuNs.addAndGet(m.executorCpuTime)
+      }
+    })
     def time[T](name: String)(f: => T): T = {
+      val (w0, r0, c0) = (shufWrite.get, shufRead.get, cpuNs.get)
       val t0 = System.nanoTime(); val r = f
-      println(f"phase $name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; give them a beat
+      Thread.sleep(300)
+      println(f"phase $name: $wall%.1f s  shufW=${(shufWrite.get - w0) / 1e6}%.0f MB shufR=${(shufRead.get - r0) / 1e6}%.0f MB cpu=${(cpuNs.get - c0) / 1e9}%.1f s")
+      r
     }
     val mult = sys.env.getOrElse("P_MULT", "20").toInt
     val dupMode = sys.env.getOrElse("SPARK_GRAFT_DUPMODE", "mixed")
