@@ -22,7 +22,17 @@ object DedupPipeline {
       verifiedPairs: DataFrame,
       clusters: DataFrame,
       clusterStats: DataFrame,
-      stopBands: DataFrame)
+      stopBands: DataFrame) {
+    /** Drop the pipeline-owned cached stages — one-shot callers
+      * (benchmarks, repeated run() in one session) must release or the
+      * multi-million-row pair caches pin executor memory for the session's
+      * life. `t1` is caller-provided (run() persists the caller's handle)
+      * and stays cached for the caller to manage.
+      */
+    def release(): Unit =
+      Seq(signatures, bands, candidatePairs, verifiedPairs, clusters)
+        .foreach(_.unpersist(blocking = false))
+  }
 
   /** T1 → T3: the fused shingle+MinHash+SimHash typed kernel. Permutation
     * coefficients are built once per partition; the serde boundary
@@ -65,6 +75,8 @@ object DedupPipeline {
     */
   def run(spark: SparkSession, t1in: DataFrame, cfg: DedupConfig = DedupConfig.default,
       withSuffixPass: Boolean = true): Result = {
+    // t1Distinct is derived from t1 but t1in may itself be persisted by the
+    // caller; persist our own handle (idempotent if already cached)
     val t1 = t1in.persist()
     // LSH/suffix run over sha-distinct docs only (one representative per
     // identical content): identical docs have identical signatures, so

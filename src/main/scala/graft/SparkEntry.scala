@@ -26,15 +26,21 @@ object SparkEntry {
 
   // Eight queries expose stages of the SAME pipeline run; memoize the lazy
   // Result per (session, input) so the driver's Verify/Bench loops don't
-  // rebuild the persisted t1/signature/band trees once per query. Keyed by
-  // session UUID so a fresh session never sees another session's (dead)
-  // persisted plans.
+  // rebuild the persisted t1/signature/band trees once per query. The cache
+  // stores the owning session and rebuilds on identity mismatch, so a fresh
+  // session never sees another (possibly stopped) session's persisted
+  // plans, and stale entries are replaced rather than accumulated.
   private val pipeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DedupPipeline.Result]
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DedupPipeline.Result)]
 
   private def pipeline(spark: SparkSession, sfDir: String): DedupPipeline.Result =
-    pipeCache.getOrElseUpdate((System.identityHashCode(spark).toString, sfDir),
-      DedupPipeline.run(spark, docsT1(spark, sfDir), cfg))
+    pipeCache.get(sfDir) match {
+      case Some((owner, res)) if owner eq spark => res
+      case _ =>
+        val res = DedupPipeline.run(spark, docsT1(spark, sfDir), cfg)
+        pipeCache.put(sfDir, (spark, res))
+        res
+    }
 
   /** Original document id recovered from the canonical path ('doc/<id>') —
     * lets DuckDB oracles reproduce pipeline outputs in the documents table's
@@ -55,14 +61,23 @@ object SparkEntry {
   }
 
   /** Shared DuckDB oracle fragment: the SQL-expressible twin of the dedup
-    * core (SURVEY §2 row 11's "SQL-only shingle twin") — token 5-shingles
-    * over split(lower(text), /[^a-z0-9_]+/), exact Jaccard by shingle
-    * self-join, dup edges at integer-exact 10·|∩| ≥ 7·|∪| (τ=0.7), and
-    * connected components via a recursive CTE (cluster_id = min member id).
-    * Semantics mirror DedupConfig v1 (k=5, τ=0.7); at sf0.01 the corpus'
-    * dup pairs are far from τ on both sides, so the pipeline's est-Jaccard
-    * decisions coincide with exact Jaccard and the CTE reproduces the
-    * pipeline clusters exactly.
+    * core (SURVEY §2 row 11's "SQL-only shingle twin"), mirroring ALL THREE
+    * verified edge types of the pipeline:
+    *  - `jac`/`rjac`: token 5-shingles over split(lower(text),
+    *    /[^a-z0-9_]+/), exact Jaccard by shingle self-join, dup edges at
+    *    integer-exact 10·|∩| ≥ 7·|∪| (τ=0.7), restricted to sha-reps for
+    *    `rjac` (the pipeline runs LSH over reps only);
+    *  - `sfx`: suffix-containment edges — rep docs sharing a 50-token gram
+    *    whose doc frequency is in [2, suffixDfMax=64]; with STRING grams,
+    *    sharing a 50-gram ⟺ common substring ≥ 50 tokens, exactly the
+    *    pipeline's rule (which needs the suffix-array check only to reject
+    *    its rolling-HASH collisions);
+    *  - `exact_star`: rep→member star edges over identical text.
+    * Clusters come from a recursive CTE over the union (cluster_id = min
+    * member id). Residual margin vs the pipeline (documented in CLAUDE.md):
+    * est-Jaccard vs exact Jaccard near τ, Hamming-only-verified pairs, and
+    * gram-hash collisions — all empirically absent at sf0.01 and
+    * deterministic there.
     */
   private val dupCte: String =
     """toks AS (
@@ -82,10 +97,30 @@ object SparkEntry {
       |), jac AS (
       |  SELECT a, b, i AS inter, na.n + nb.n - i AS uni
       |  FROM inter JOIN nsh na ON na.doc_id = a JOIN nsh nb ON nb.doc_id = b
-      |), dup AS (
-      |  SELECT a, b FROM jac WHERE 10*inter >= 7*uni
+      |), reps AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep FROM documents
+      |), rjac AS (
+      |  SELECT a, b FROM jac
+      |  JOIN reps ra ON ra.doc_id = a AND ra.rep = a
+      |  JOIN reps rb ON rb.doc_id = b AND rb.rep = b
+      |  WHERE 10*inter >= 7*uni
+      |), ex50 AS (
+      |  SELECT t.doc_id, unnest(list_distinct(list_transform(range(1, len(tk)-48), i -> array_to_string(tk[i:i+49], ' ')))) AS g
+      |  FROM toks t JOIN reps r ON r.doc_id = t.doc_id AND r.rep = t.doc_id
+      |  WHERE len(tk) >= 50
+      |), gkeep AS (
+      |  SELECT g FROM ex50 GROUP BY g HAVING count(*) BETWEEN 2 AND 64
+      |), sfx AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b
+      |  FROM ex50 x JOIN ex50 y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  JOIN gkeep k ON k.g = x.g
+      |  GROUP BY 1, 2
+      |), exact_star AS (
+      |  SELECT rep AS a, doc_id AS b FROM reps WHERE doc_id <> rep
+      |), vedges AS (
+      |  SELECT a, b FROM rjac UNION SELECT a, b FROM sfx UNION SELECT a, b FROM exact_star
       |), edges AS (
-      |  SELECT a, b FROM dup UNION ALL SELECT b AS a, a AS b FROM dup
+      |  SELECT a, b FROM vedges UNION ALL SELECT b AS a, a AS b FROM vedges
       |), reach(id, r) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
@@ -151,11 +186,12 @@ object SparkEntry {
       val docs = s.read.parquet(s"$d/documents.parquet")
       val tk = docs.select(col("doc_id"),
         filter(split(lower(col("text")), "[^a-z0-9_]+"), t => t =!= lit("")).as("tk"))
+      // no persist: the two consumers (explode + size) are cheap relational
+      // branches, and a persist here would pin cache on every invocation
       val sh = tk.where(size(col("tk")) >= cfg.shingleK)
         .select(col("doc_id"),
           array_distinct(transform(sequence(lit(0), size(col("tk")) - lit(cfg.shingleK)),
             i => concat_ws(" ", slice(col("tk"), i + 1, lit(cfg.shingleK))))).as("shingles"))
-        .persist()
       val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       val n = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
       val inter = ex.as("x").join(ex.as("y"),
@@ -397,11 +433,11 @@ object SparkEntry {
     "cluster_members" ->
       s"WITH RECURSIVE $dupCte SELECT cluster_id, array_to_string(list_sort(list(doc_id))[1:20], ',') AS sample_members, count(*) AS size FROM cl GROUP BY 1 ORDER BY 1",
     "first_stories" ->
-      s"WITH RECURSIVE $dupCte SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT a FROM dup UNION SELECT b FROM dup) ORDER BY doc_id",
+      s"WITH RECURSIVE $dupCte SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT a FROM vedges UNION SELECT b FROM vedges) ORDER BY doc_id",
     "norm_dup_groups" ->
       "SELECT substr(text, 1, 40) AS prefix40, count(*) AS cnt, min(doc_id) AS rep FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY prefix40",
     "novelty_scores" ->
-      s"WITH RECURSIVE $dupCte, deg AS (SELECT a AS doc_id FROM dup UNION ALL SELECT b FROM dup) SELECT d.doc_id, count(deg.doc_id) AS n_neighbors, CAST(count(deg.doc_id) = 0 AS INTEGER) AS is_first_story FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id GROUP BY d.doc_id ORDER BY d.doc_id",
+      s"WITH RECURSIVE $dupCte, deg AS (SELECT a AS doc_id FROM vedges UNION ALL SELECT b FROM vedges) SELECT d.doc_id, count(deg.doc_id) AS n_neighbors, CAST(count(deg.doc_id) = 0 AS INTEGER) AS is_first_story FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id GROUP BY d.doc_id ORDER BY d.doc_id",
     "q_grouping_sets" ->
       "SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) ORDER BY status, prio",
     "q_join5_region" ->

@@ -28,20 +28,20 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
       maxLocalEdges: Long = 5000000L): DataFrame = {
     // Orient big → small; drop self-loops.
-    val base = edges
+    val oriented = edges
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
-      .localCheckpoint(true)
 
     // Fast path: an edge list already small enough for the driver skips the
     // distinct shuffle AND the star rounds entirely — union-find tolerates
     // duplicate edges, and the non-distinct count only over-estimates (so
-    // the cutoff stays conservative). Saves ~2 fixed Spark jobs per run,
-    // which dominated CC wall time on small graphs at every core count.
-    if (maxLocalEdges > 0 && base.count() <= maxLocalEdges)
-      return localFinish(spark, base)
+    // the cutoff stays conservative). Deliberately NOT checkpointed here:
+    // the projection recomputes from the (persisted/checkpointed) source,
+    // so the big-graph path pays nothing extra for the probe.
+    if (maxLocalEdges > 0 && oriented.count() <= maxLocalEdges)
+      return localFinish(spark, oriented)
 
-    var e = base.distinct().localCheckpoint(true)
+    var e = oriented.distinct().localCheckpoint(true)
 
     var converged = false
     var iter = 0

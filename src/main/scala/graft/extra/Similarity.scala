@@ -140,6 +140,9 @@ object Similarity extends Serializable {
   private def embBandRows(spark: SparkSession, emb: Dataset[Emb],
       nbits: Int, tables: Int): DataFrame = {
     require(nbits % tables == 0, "tables must divide nbits")
+    // generateJoin packs the band index into 8 bits of its join key and its
+    // own require only checks the MinHash cfg — guard the actual domain here
+    require(tables < 256, "band index must fit 8 bits (generateJoin pk packing)")
     val blockBits = nbits / tables
     val mask = (1L << blockBits) - 1
     sketch(spark, emb, nbits).toDF()

@@ -59,20 +59,32 @@ object IncrementalDedup {
     f.create(new Path(s"$stateDir/_commits/batch-$id"), true).close()
   }
 
-  private def nextBatchId(spark: SparkSession, stateDir: String): Long = {
+  private def committedIds(spark: SparkSession, stateDir: String): Seq[Long] = {
     val p = new Path(s"$stateDir/_commits")
     val f = fs(spark, stateDir)
-    if (!f.exists(p)) 0L
-    else f.listStatus(p).map(_.getPath.getName.stripPrefix("batch-").toLong)
-      .foldLeft(-1L)(math.max) + 1L
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).map(_.getPath.getName.stripPrefix("batch-").toLong).toSeq
   }
 
-  /** Read an append-only state table (all batch partitions), or None if the
-    * table does not exist yet.
+  private def nextBatchId(spark: SparkSession, stateDir: String): Long =
+    committedIds(spark, stateDir).foldLeft(-1L)(math.max) + 1L
+
+  /** Read an append-only state table restricted to COMMITTED batch
+    * partitions (plus optionally the current batch's own, just-written
+    * one). An uncommitted partition is a crashed batch's half-written
+    * leftovers: trusting it during replay would make the re-ingest
+    * anti-join see the batch's own docs, compute an empty "fresh" set and
+    * overwrite the partitions with empty data — silently losing the batch.
     */
-  private def readState(spark: SparkSession, stateDir: String, name: String): Option[DataFrame] = {
+  private def readState(spark: SparkSession, stateDir: String, name: String,
+      committed: Seq[Long], alsoBatch: Long = -1L): Option[DataFrame] = {
     val p = new Path(s"$stateDir/$name")
-    if (fs(spark, stateDir).exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (!fs(spark, stateDir).exists(p)) None
+    else {
+      val ids = committed ++ (if (alsoBatch >= 0) Seq(alsoBatch) else Nil)
+      if (ids.isEmpty) None
+      else Some(spark.read.parquet(p.toString).where(col("batch").isin(ids: _*)))
+    }
   }
 
   /** @param batchId streaming micro-batch id for exactly-once replay
@@ -87,12 +99,15 @@ object IncrementalDedup {
       batchId: Long = -1L): BatchResult = {
     val cat = new ParquetCatalog(stateDir)
     val id = if (batchId >= 0) batchId else nextBatchId(spark, stateDir)
-    if (committed(spark, stateDir, id)) {
+    val done = committedIds(spark, stateDir)
+    if (done.contains(id)) {
       // replayed batch: state already reflects it
-      return BatchResult(0L, readState(spark, stateDir, "docs").map(_.count()).getOrElse(0L))
+      return BatchResult(0L,
+        readState(spark, stateDir, "docs", done).map(_.count()).getOrElse(0L))
     }
 
-    val docsOld = readState(spark, stateDir, "docs").map(_.select("doc_id", "content_sha256"))
+    val docsOld = readState(spark, stateDir, "docs", done)
+      .map(_.select("doc_id", "content_sha256"))
 
     // genuinely-new docs only: replay/re-ingest of a known doc_id must not
     // duplicate state rows (slim anti-join on the id)
@@ -116,11 +131,11 @@ object IncrementalDedup {
       .write.mode("overwrite").parquet(s"$stateDir/docs/batch=$id")
 
     val bandsNewD = spark.read.parquet(s"$stateDir/bands/batch=$id")
-    val bandsAll = spark.read.parquet(s"$stateDir/bands")
+    val bandsAll = readState(spark, stateDir, "bands", done, alsoBatch = id).get
       .select("band", "band_hash", "doc_id")
-    val sigsAll = spark.read.parquet(s"$stateDir/signatures")
+    val sigsAll = readState(spark, stateDir, "signatures", done, alsoBatch = id).get
       .select("doc_id", "minhash", "simhash")
-    val shaAll = spark.read.parquet(s"$stateDir/docs")
+    val shaAll = readState(spark, stateDir, "docs", done, alsoBatch = id).get
       .select("doc_id", "content_sha256")
 
     // LSH candidates touching a new doc: equi-join new bands × all bands.
@@ -158,7 +173,8 @@ object IncrementalDedup {
     cat.write(pairsAll, "pairs_next")
     swapIn(spark, stateDir, "pairs")
     commit(spark, stateDir, id)
-    val totalDocs = spark.read.parquet(s"$stateDir/docs").count()
+    val totalDocs = readState(spark, stateDir, "docs", done, alsoBatch = id)
+      .map(_.count()).getOrElse(0L)
     BatchResult(newPairCount, totalDocs)
   }
 
@@ -170,10 +186,11 @@ object IncrementalDedup {
     f.rename(next, cur)
   }
 
-  /** Final clusters over the accumulated edge table. */
+  /** Final clusters over the accumulated edge table (committed state only). */
   def clusters(spark: SparkSession, stateDir: String): DataFrame = {
     val cat = new ParquetCatalog(stateDir)
-    val docs = spark.read.parquet(s"$stateDir/docs").select("doc_id")
+    val docs = readState(spark, stateDir, "docs", committedIds(spark, stateDir))
+      .map(_.select("doc_id")).getOrElse(spark.emptyDataFrame.withColumn("doc_id", lit(0L)))
     val mapping = graft.cc.ConnectedComponents.run(
       spark, cat.read(spark, "pairs").select("a", "b"))
     graft.cc.ConnectedComponents.assignAll(docs, mapping)

@@ -41,10 +41,10 @@ object Verifier {
     val prefiltered =
       if (cfg.numPerms % 64 == 0) {
         val words = cfg.numPerms / 64
-        // shift-left fold of each lane's low bit into per-64-lane words
+        // codegen'd shift-left fold of each lane's low bit into per-64-lane
+        // words (interpreted aggregate() would run per sig row per side)
         val parityWords = (0 until words).map { w =>
-          aggregate(slice(col("minhash"), w * 64 + 1, 64), lit(0L),
-            (acc, x) => shiftleft(acc, 1).bitwiseOR(x.bitwiseAND(lit(1L))))
+          graft.functions.LongArrayParityWord.parityWord(col("minhash"), lit(w))
         }
         val slim = sigs.select(col("doc_id") +: col("simhash") +:
           parityWords.zipWithIndex.map { case (c, i) => c.as(s"par$i") }: _*)

@@ -78,6 +78,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(incClusters === batchClusters)
   }
 
+  test("crash-before-commit replay recomputes the batch instead of wiping it") {
+    val stateDir = Files.createTempDirectory("graft-stream-crash").toString
+    val parts = corpus.grouped(corpus.size / 2 + 1).toSeq
+    def df(chunk: Seq[graft.model.CorpusRow]) =
+      spark.createDataFrame(chunk).select("repo", "path", "commit", "lang", "content")
+    IncrementalDedup.processBatch(spark, df(parts.head), stateDir, cfg, batchId = 0L)
+    // batch 1 completes, then we simulate a crash AFTER the partition
+    // writes but BEFORE the commit marker by deleting the marker
+    val r1 = IncrementalDedup.processBatch(spark, df(parts(1)), stateDir, cfg, batchId = 1L)
+    val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_commits/batch-1")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(marker, false)
+    // Structured Streaming replays batch 1: the uncommitted batch=1
+    // partitions must NOT be trusted by the re-ingest anti-join (a replay
+    // that saw its own half-written docs would overwrite the partitions
+    // with empty data and lose the batch)
+    val r2 = IncrementalDedup.processBatch(spark, df(parts(1)), stateDir, cfg, batchId = 1L)
+    assert(r2.totalDocs === corpus.size.toLong, "replay lost batch docs")
+    assert(r2.newPairs === r1.newPairs, "replay changed the emitted pair set")
+    val docs1 = spark.read.parquet(s"$stateDir/docs/batch=1").count()
+    assert(docs1 === parts(1).size.toLong, "batch-1 partition was wiped by the replay")
+  }
+
   test("streaming query over a parquet file stream drives the same state") {
     val stateDir = Files.createTempDirectory("graft-stream2").toString
     val inDir = Files.createTempDirectory("graft-stream-in").toString
