@@ -1,0 +1,52 @@
+#!/bin/bash
+# Validates the dedup-core DuckDB oracles on a synthetic corpus that
+# actually contains ALL THREE verified edge types (exact-dup trio,
+# suffix-containment pair with Jaccard << tau, near-dup pair) — the driver
+# testdata at sf0.01 has neither containment nor identical texts, so green
+# rows there alone would not prove the sfx/exact_star CTE branches.
+set -e
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/synthsf
+python3 - <<'EOF'
+import duckdb
+rows = []
+def toks(n, tag): return " ".join(f"{tag}{i}" for i in range(n))
+for i in range(10): rows.append((i, toks(80, f"u{i}_"), "en", "srcA"))
+t = toks(90, "ex_")
+for i in (11,12,13): rows.append((i, t, "en", "srcB"))          # exact trio
+a = toks(60, "cont_")
+rows.append((20, a, "en", "srcC"))                               # contained
+rows.append((21, toks(200,"pre_")+" "+a+" "+toks(200,"post_"), "en", "srcC"))
+base = [f"nd{i}" for i in range(200)]
+v = list(base); v[5] = "CHANGED"; v[77] = "ALSO"
+rows.append((30, " ".join(base), "en", "srcD"))                  # near dup
+rows.append((31, " ".join(v), "en", "srcD"))
+con = duckdb.connect()
+con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR)")
+con.executemany("INSERT INTO d VALUES (?,?,?,?)", rows)
+con.execute("ALTER TABLE d ADD COLUMN n_chars BIGINT"); con.execute("UPDATE d SET n_chars = length(text)")
+con.execute("COPY d TO '/tmp/synthsf/documents.parquet' (FORMAT PARQUET)")
+EOF
+for t in region nation customer supplier part orders lineitem events embeddings; do
+  cp -r /root/testdata/sf0.01/$t.parquet /tmp/synthsf/ 2>/dev/null || true
+done
+SPARK_GRAFT_CPUS=4 sbt -batch "runMain graft.Verify /tmp/synthsf /tmp/verify_synth" >/dev/null 2>&1
+python3 - <<'EOF'
+import duckdb, json, pandas as pd
+d='/tmp/synthsf'; con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+sqls = json.load(open('/tmp/verify_synth/oracle_sql.json'))
+fails = 0
+for name in ['dedup_clusters','cluster_members','dedup_cluster_stats','first_stories',
+             'novelty_scores','dedup_jaccard_sql','exact_dup_groups','norm_dup_groups']:
+    exp = con.execute(sqls[name]).fetchdf(); got = pd.read_parquet(f'/tmp/verify_synth/{name}')
+    exp, got = (x.reindex(sorted(x.columns), axis=1) for x in (exp, got))
+    exp, got = (x.sort_values(list(x.columns)).reset_index(drop=True) for x in (exp, got))
+    try:
+        pd.testing.assert_frame_equal(exp, got, check_dtype=False, check_exact=True)
+        print(name, 'OK', len(exp))
+    except Exception as e:
+        fails += 1; print(name, 'MISMATCH', str(e)[:300])
+raise SystemExit(1 if fails else 0)
+EOF
