@@ -151,6 +151,15 @@ object SparkEntry {
     }),
     "dedup_signatures" -> ((s, d) =>
       pipeline(s, d).signatures.select("doc_id", "simhash", "n_shingles").orderBy("doc_id")),
+    // the kernel's tokenize→5-shingle→distinct COUNT, cross-checked against
+    // DuckDB's string-shingle count (hash-collision margin ≈ 0, documented)
+    "dedup_shingle_counts" -> ((s, d) => {
+      val res = pipeline(s, d)
+      val m = res.t1.select(col("doc_id"), origId(col("path")).as("orig"))
+      res.signatures.join(m, "doc_id")
+        .select(col("orig").as("doc_id"), col("n_shingles").cast("long").as("n_shingles"))
+        .orderBy("doc_id")
+    }),
     "dedup_bands" -> ((s, d) => pipeline(s, d).bands.orderBy("doc_id", "band")),
     "dedup_candidate_pairs" -> ((s, d) =>
       pipeline(s, d).candidatePairs.orderBy("a", "b")),
@@ -428,6 +437,8 @@ object SparkEntry {
       s"WITH RECURSIVE $dupCte SELECT a, b, inter, uni, CAST(10*inter >= 7*uni AS INTEGER) AS is_dup FROM jac ORDER BY a, b",
     "dedup_clusters" ->
       s"WITH RECURSIVE $dupCte SELECT doc_id, cluster_id FROM cl ORDER BY doc_id",
+    "dedup_shingle_counts" ->
+      s"WITH RECURSIVE $dupCte SELECT d.doc_id, CAST(coalesce(len(s.shingles), 0) AS BIGINT) AS n_shingles FROM documents d JOIN reps r ON r.doc_id = d.doc_id AND r.rep = d.doc_id LEFT JOIN sh s ON s.doc_id = d.doc_id ORDER BY d.doc_id",
     "dedup_cluster_stats" ->
       s"WITH RECURSIVE $dupCte SELECT cluster_id, count(*) AS size, count(DISTINCT source) AS n_repos FROM cl JOIN documents USING (doc_id) GROUP BY 1 ORDER BY 1",
     "cluster_members" ->
