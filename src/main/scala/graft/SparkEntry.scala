@@ -376,6 +376,26 @@ object SparkEntry {
         .groupBy("o_orderstatus")
         .agg(countDistinct(col("o_custkey")).as("nd_cust"))
         .orderBy("o_orderstatus")),
+    // pivot (wide conditional aggregation) with pinned value columns —
+    // deterministic schema, expressible as FILTERed counts in DuckDB
+    "q_pivot" -> ((s, d) =>
+      s.read.parquet(s"$d/orders.parquet")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("o_orderpriority")),
+    "q_intersect" -> ((s, d) => {
+      val rich = s.read.parquet(s"$d/customer.parquet")
+        .where(col("c_acctbal") > 9000).select(col("c_custkey"))
+      val haveBig = s.read.parquet(s"$d/orders.parquet")
+        .where(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey"))
+      rich.intersect(haveBig).orderBy("c_custkey")
+    }),
     "q_set_except" -> ((s, d) => {
       val rich = s.read.parquet(s"$d/customer.parquet")
         .where(col("c_acctbal") > 9000).select(col("c_custkey"))
@@ -497,6 +517,10 @@ object SparkEntry {
       "SELECT o_orderstatus, count(DISTINCT o_custkey) AS nd_cust FROM orders GROUP BY 1 ORDER BY 1",
     "q_set_except" ->
       "SELECT c_custkey FROM customer WHERE c_acctbal > 9000 EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000 ORDER BY c_custkey",
+    "q_pivot" ->
+      "SELECT o_orderpriority, count(*) FILTER (WHERE o_orderstatus = 'F') AS F, count(*) FILTER (WHERE o_orderstatus = 'O') AS O, count(*) FILTER (WHERE o_orderstatus = 'P') AS P FROM orders GROUP BY 1 ORDER BY 1",
+    "q_intersect" ->
+      "SELECT c_custkey FROM customer WHERE c_acctbal > 9000 INTERSECT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000 ORDER BY c_custkey",
     "q_rollup" ->
       "SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, prio",
     "q_events_hourly" ->
