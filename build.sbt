@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output passes through to the real stdout/stderr
+// unprefixed: sbt's default logger tags every forked-stdout line with
+// "[info] " (and stderr with "[error] "), which broke the driver's parse of
+// the Bench JSON line in rounds 1-2. bench.json stays the canonical file.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -38,7 +38,12 @@ object SparkEntry {
       case Some((owner, res)) if owner eq spark => res
       case _ =>
         val res = DedupPipeline.run(spark, docsT1(spark, sfDir), cfg)
-        pipeCache.put(sfDir, (spark, res))
+        pipeCache.put(sfDir, (spark, res)).foreach { case (_, old) =>
+          // evicted entry: drop its persisted stages so replaced results
+          // don't pin pair/cluster caches in a shared SparkContext for the
+          // session's life (unpersist on a stopped context throws — ignore)
+          scala.util.Try { old.release(); old.t1.unpersist(false) }
+        }
         res
     }
 
@@ -79,7 +84,7 @@ object SparkEntry {
     * gram-hash collisions — all empirically absent at sf0.01 and
     * deterministic there.
     */
-  private val dupCte: String =
+  private val tokShCte: String =
     """toks AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS tk
       |  FROM documents
@@ -88,7 +93,10 @@ object SparkEntry {
       |  FROM toks WHERE len(tk) >= 5
       |), ex AS (
       |  SELECT doc_id, unnest(shingles) AS s FROM sh
-      |), nsh AS (
+      |)""".stripMargin
+
+  private val dupCte: String =
+    tokShCte + """, nsh AS (
       |  SELECT doc_id, len(shingles)::BIGINT AS n FROM sh
       |), inter AS (
       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
@@ -128,6 +136,38 @@ object SparkEntry {
       |), cl AS (
       |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
       |)""".stripMargin.replaceAll("\\s+", " ")
+
+  /** Doc-frequency cap for the SQL Jaccard twin's shingle universe. An
+    * uncapped shingle self-join is quadratic in the doc frequency of
+    * boilerplate shingles (k docs sharing a shingle → k² join rows) — the
+    * same hot-key blowup the real pipeline bounds with stop-bands and the
+    * suffix pass's gram df-cap. The twin's semantics are therefore
+    * "exact Jaccard over the rare-shingle universe": shingles with
+    * df ≤ cap define the universe (df=1 still counts toward the union
+    * denominator), and only df ∈ [2, cap] shingles enter the pair join.
+    * Applied identically on the Spark side and in [[jacCte]], so the twin
+    * stays value-exact by construction.
+    */
+  private val JaccardDfCap = 64
+
+  /** DuckDB twin of `dedup_jaccard_sql` (df-capped — see [[JaccardDfCap]]). */
+  private val jacCte: String =
+    (tokShCte + s""", freq AS (
+      |  SELECT s, count(*) AS df FROM ex GROUP BY s
+      |), exk AS (
+      |  SELECT doc_id, s, df FROM ex JOIN freq USING (s) WHERE df <= $JaccardDfCap
+      |), nshc AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n FROM exk GROUP BY doc_id
+      |), exj AS (
+      |  SELECT doc_id, s FROM exk WHERE df >= 2
+      |), interc AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      |  FROM exj x JOIN exj y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |), jacc AS (
+      |  SELECT a, b, i AS inter, na.n + nb.n - i AS uni
+      |  FROM interc JOIN nshc na ON na.doc_id = a JOIN nshc nb ON nb.doc_id = b
+      |)""").stripMargin.replaceAll("\\s+", " ")
 
   /** Flagship: top duplicate clusters over the documents corpus. */
   def entry(spark: SparkSession): DataFrame = {
@@ -189,21 +229,46 @@ object SparkEntry {
         .orderBy("cluster_id")),
 
     // ---- SQL-expressible dedup-core twin (SURVEY §2 rows 11/18/25 Q/sql):
-    // shingle → shingle-equality pair-gen → integer-exact Jaccard. Same
-    // relational math on both sides, so the DuckDB oracle is value-exact.
+    // shingle → df-cap → shingle-equality pair-gen → integer-exact Jaccard
+    // over the rare-shingle universe (see JaccardDfCap — the uncapped join
+    // is quadratic in boilerplate-shingle doc frequency). Same relational
+    // math on both sides, so the DuckDB oracle is value-exact.
     "dedup_jaccard_sql" -> ((s, d) => {
-      val docs = s.read.parquet(s"$d/documents.parquet")
-      val tk = docs.select(col("doc_id"),
-        filter(split(lower(col("text")), "[^a-z0-9_]+"), t => t =!= lit("")).as("tk"))
-      // no persist: the two consumers (explode + size) are cheap relational
-      // branches, and a persist here would pin cache on every invocation
-      val sh = tk.where(size(col("tk")) >= cfg.shingleK)
-        .select(col("doc_id"),
-          array_distinct(transform(sequence(lit(0), size(col("tk")) - lit(cfg.shingleK)),
-            i => concat_ws(" ", slice(col("tk"), i + 1, lit(cfg.shingleK))))).as("shingles"))
-      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      val n = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
-      val inter = ex.as("x").join(ex.as("y"),
+      import s.implicits._
+      // typed kernel instead of array_distinct(transform(slice(...))):
+      // higher-order array expressions are INTERPRETED per element and this
+      // string-shingle construction dominated the query's runtime (it was
+      // the most expensive entry of the whole bench); the loop below emits
+      // the exploded (doc_id, shingle) pairs directly. Values are identical
+      // to the DuckDB twin's array_to_string(tk[i:i+k], ' ') construction.
+      val k = cfg.shingleK
+      val ex = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val tk = text.toLowerCase(java.util.Locale.ROOT)
+              .split("[^a-z0-9_]+").filter(_.nonEmpty)
+            if (tk.length < k) Iterator.empty
+            else {
+              val set = new java.util.HashSet[String]()
+              var i = 0
+              while (i + k <= tk.length) { set.add(tk.slice(i, i + k).mkString(" ")); i += 1 }
+              scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator()).asScala
+                .map(sh => (id, sh))
+            }
+          }
+        }).toDF("doc_id", "s")
+      // df per shingle via one window over the shingle-partitioned shuffle
+      // (the self-join below then reuses that partitioning); universe =
+      // df ≤ cap, and only df ≥ 2 shingles can produce a pair, so the
+      // self-join input also drops the (dominant) unique-shingle mass
+      val exF = ex.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      val exK = exF.where(col("df") <= JaccardDfCap)
+      val n = exK.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val exJ = exK.where(col("df") >= 2).select("doc_id", "s")
+      val inter = exJ.as("x").join(exJ.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .agg(count(lit(1)).as("inter"))
@@ -277,8 +342,18 @@ object SparkEntry {
         .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"))
         .orderBy("vec_id")),
     "emb_profile" -> ((s, d) => Similarity.profile(s, d)),
-    "ann_topk_brute" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
-    "ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
+    // float-free projection (query_id, neighbor_id, rank) so DuckDB can
+    // oracle the exact-cosine ground truth; the cos column itself is
+    // engine-precision-dependent (DuckDB computes in float32) but the RANK
+    // is stable: min adjacent-cosine gap in the top-k at sf0.01 is ~2e-5
+    // vs ~3e-8 cross-engine cosine error (measured; documented margin)
+    "ann_topk_brute" -> ((s, d) =>
+      Similarity.bruteForceTopK(s, d).select("query_id", "neighbor_id", "rank")),
+    // the scale-safe config is the contract path: 8 tables × 8-bit blocks
+    // with query-side multi-probe (≈28% corpus candidates/query) — the
+    // 16×4 single-probe default degenerates to ~100% of the corpus per
+    // query and gets stop-capped to zero at real n (Similarity scaladoc)
+    "ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(s, d, tables = 8, multiProbe = true)),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "emb_dup_clusters" -> ((s, d) => Similarity.embeddingDupClusters(s, d)),
 
@@ -454,7 +529,7 @@ object SparkEntry {
   // every summed column below.
   def oracleSql: Map[String, String] = Map(
     "dedup_jaccard_sql" ->
-      s"WITH RECURSIVE $dupCte SELECT a, b, inter, uni, CAST(10*inter >= 7*uni AS INTEGER) AS is_dup FROM jac ORDER BY a, b",
+      s"WITH $jacCte SELECT a, b, inter, uni, CAST(10*inter >= 7*uni AS INTEGER) AS is_dup FROM jacc ORDER BY a, b",
     "dedup_clusters" ->
       s"WITH RECURSIVE $dupCte SELECT doc_id, cluster_id FROM cl ORDER BY doc_id",
     "dedup_shingle_counts" ->
@@ -499,6 +574,13 @@ object SparkEntry {
       raw"SELECT doc_id, length(text)::BIGINT AS n_chars, round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)::DOUBLE, 4) AS alpha_ratio, round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE, 4) AS digit_ratio, round(length(regexp_replace(text, '[A-Za-z0-9_\s]', '', 'g')) / length(text)::DOUBLE, 4) AS punct_ratio, round(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','of','and','a','to','in','is','it','you','that','he','was','for','on','are','with','as','i','his','they'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio FROM documents ORDER BY doc_id",
     "emb_dims" ->
       "SELECT vec_id, len(embedding)::BIGINT AS dim FROM embeddings ORDER BY vec_id",
+    "emb_profile" ->
+      "SELECT vec_id, len(embedding)::BIGINT AS dim, CAST(floor(sqrt(list_inner_product(embedding, embedding)) * 10000 + 0.5) AS BIGINT) AS norm_e4 FROM embeddings ORDER BY vec_id",
+    // exact-cosine ANN ground truth, float-free: ranks are stable across
+    // engines (min adjacent-cosine gap ~2e-5 vs ~3e-8 float error at
+    // sf0.01); ties broken by neighbor_id on both sides
+    "ann_topk_brute" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 20), s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, list_cosine_similarity(q.embedding, e.embedding) AS cos FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id), r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank" FROM s) SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
     "q_agg_pricing" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2",
     "q_filter_pushdown" ->

@@ -40,15 +40,20 @@ object Similarity extends Serializable {
     embeddings(spark, sfDir).select(col("vec_id"), col("embedding")).as[Emb]
   }
 
-  /** vec_id, dim, norm — sanity profile of the embedding column. */
+  /** vec_id, dim, norm_e4 — sanity profile of the embedding column. The
+    * norm is emitted in 1e-4 units as a BIGINT (floor(x·1e4 + 0.5)) so the
+    * DuckDB oracle compares integers: cross-engine float error is ~2e-7
+    * while the norms sit far from any rounding boundary at sf0.01
+    * (min distance 0.499 in 1e-4 units — measured margin).
+    */
   def profile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     embDs(spark, sfDir).map { e =>
       var s = 0.0
       var i = 0
       while (i < e.embedding.length) { s += e.embedding(i).toDouble * e.embedding(i); i += 1 }
-      (e.vec_id, e.embedding.length.toLong, math.rint(math.sqrt(s) * 10000) / 10000)
-    }.toDF("vec_id", "dim", "norm").orderBy("vec_id")
+      (e.vec_id, e.embedding.length.toLong, math.floor(math.sqrt(s) * 10000 + 0.5).toLong)
+    }.toDF("vec_id", "dim", "norm_e4").orderBy("vec_id")
   }
 
   @inline private def cosine(a: Array[Float], b: Array[Float]): Double = {
@@ -233,7 +238,10 @@ object Similarity extends Serializable {
       .sortBy(_._1)
       .map { case (_, (sum, n)) => sum.map(s => (s / n).toFloat) }
 
-    val listed = emb.map(e => (e.vec_id, e.embedding, nearest(refined, e.embedding)))
+    // the centroid array is √n × dim floats (~16 MB at 10^9 vectors) —
+    // broadcast once instead of shipping it in every task closure
+    val bcRefined = spark.sparkContext.broadcast(refined)
+    val listed = emb.map(e => (e.vec_id, e.embedding, nearest(bcRefined.value, e.embedding)))
       .toDF("vec_id", "embedding", "list")
 
     val queries = emb.orderBy("vec_id").limit(nQueries).collect()

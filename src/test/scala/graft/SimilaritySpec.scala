@@ -97,8 +97,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("profile: dims constant, norms positive") {
-    val p = Similarity.profile(spark, sfDir).as[(Long, Long, Double)].collect()
+    val p = Similarity.profile(spark, sfDir).as[(Long, Long, Long)].collect()
     assert(p.map(_._2).distinct.length === 1)
-    assert(p.forall(_._3 > 0))
+    assert(p.forall(_._3 > 0)) // norm_e4 = floor(norm·1e4 + 0.5)
   }
 }
