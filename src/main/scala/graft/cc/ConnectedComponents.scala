@@ -27,21 +27,26 @@ object ConnectedComponents {
     */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
       maxLocalEdges: Long = 5000000L): DataFrame = {
-    // Orient big → small; drop self-loops.
+    // Orient big → small; drop self-loops. Persisted across the size probe:
+    // without it the probe's count() recomputes the whole upstream plan once
+    // more before the distinct (or the localFinish collect) reads it again.
     val oriented = edges
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
+      .persist()
 
     // Fast path: an edge list already small enough for the driver skips the
     // distinct shuffle AND the star rounds entirely — union-find tolerates
     // duplicate edges, and the non-distinct count only over-estimates (so
-    // the cutoff stays conservative). Deliberately NOT checkpointed here:
-    // the projection recomputes from the (persisted/checkpointed) source,
-    // so the big-graph path pays nothing extra for the probe.
-    if (maxLocalEdges > 0 && oriented.count() <= maxLocalEdges)
-      return localFinish(spark, oriented)
+    // the cutoff stays conservative).
+    if (maxLocalEdges > 0 && oriented.count() <= maxLocalEdges) {
+      val r = localFinish(spark, oriented) // collects inside — safe to drop after
+      oriented.unpersist(blocking = false)
+      return r
+    }
 
     var e = oriented.distinct().localCheckpoint(true)
+    oriented.unpersist(blocking = false)
 
     var converged = false
     var iter = 0

@@ -18,7 +18,10 @@ object StageMeta {
       run_id: String,
       stage: String,
       partition_file: String,
-      rows: Long,
+      // None when the per-file split is unknown (observed-count mode records
+      // only the `_total` row) — a NULL instead of a -1 sentinel, so naive
+      // `sum(rows)` per stage stays correct in every mode
+      rows: Option[Long],
       bytes: Long,
       input_fingerprint: String,
       wall_ms: Long,
@@ -53,16 +56,16 @@ object StageMeta {
         .as[(String, Long)].collect().toMap
     val now = new java.sql.Timestamp(System.currentTimeMillis())
     val rowsOut0 = files.toSeq.map { f =>
-      // with observed totals the per-file row split is unknown (-1); bytes
+      // with observed totals the per-file row split is unknown (NULL); bytes
       // stay per-file from the FS
       val rows =
-        if (totalRows >= 0) -1L
-        else perFile.collect { case (k, v) if k.endsWith(f.getPath.getName) => v }.sum
+        if (totalRows >= 0) None
+        else Some(perFile.collect { case (k, v) if k.endsWith(f.getPath.getName) => v }.sum)
       MetaRow(runId, stage, f.getPath.getName, rows, f.getLen, fingerprint, wallMs, now)
     }
     val totalRow =
       if (totalRows >= 0)
-        Seq(MetaRow(runId, stage, "_total", totalRows,
+        Seq(MetaRow(runId, stage, "_total", Some(totalRows),
           files.map(_.getLen).sum, fingerprint, wallMs, now))
       else Nil
     // An empty stage table (e.g. stop_bands with no hot groups) may write
@@ -70,7 +73,7 @@ object StageMeta {
     // can see the stage/fingerprint.
     val rowsOut =
       if (rowsOut0.nonEmpty || totalRow.nonEmpty) rowsOut0 ++ totalRow
-      else Seq(MetaRow(runId, stage, "_empty", 0L, 0L, fingerprint, wallMs, now))
+      else Seq(MetaRow(runId, stage, "_empty", Some(0L), 0L, fingerprint, wallMs, now))
     val metaDf = spark.createDataFrame(rowsOut)
     metaDf.write.mode("append").parquet(s"${catalog.location(StageMetaDir)}")
   }

@@ -36,12 +36,22 @@ import graft.io.ParquetCatalog
   * The streaming face ([[startStream]]) is `readStream` →
   * `foreachBatch(processBatch)` with the real batch id passed through.
   *
-  * Skew note: the incremental candidate join relies on AQE skew-split (the
-  * join side is a shuffle join, which AQE *can* split, unlike the batch
-  * path's flatMapGroups); production would additionally maintain running
-  * band counts to drop stop-bands. The suffix/containment pass is not
-  * incremental — it runs in the periodic full recluster (documented
-  * deviation, SURVEY.md §2.8 row 44).
+  * Probe-side pruning: the accumulated band table is O(corpus), but only
+  * rows whose (band, band_hash) occurs in THIS batch can produce a
+  * candidate — a broadcast left_semi against the new batch's distinct keys
+  * turns the per-batch O(corpus) band shuffle into a scan+filter (no
+  * exchange of the accumulated side at all; per-batch shuffle volume is
+  * ∝ batch + matches, asserted sublinear by StreamingSpec).
+  *
+  * Skew/stop-bands: a per-batch `band_counts` partition (append-only, like
+  * bands) maintains RUNNING band sizes; keys whose accumulated count
+  * exceeds cfg.stopBandSize are dropped from both join sides — the batch
+  * pipeline's stop-band policy, incrementally. Without it a hot band in a
+  * stream grows unbounded candidate emission until the periodic recluster.
+  * Remaining within-cap skew is AQE skew-split's job (the join is a shuffle
+  * join, which AQE *can* split, unlike the batch path's flatMapGroups).
+  * The suffix/containment pass is not incremental — it runs in the periodic
+  * full recluster (documented deviation, SURVEY.md §2.8 row 44).
   */
 object IncrementalDedup {
 
@@ -98,6 +108,7 @@ object IncrementalDedup {
       cfg: DedupConfig = DedupConfig.default,
       batchId: Long = -1L): BatchResult = {
     val cat = new ParquetCatalog(stateDir)
+    recoverSwap(spark, stateDir, "pairs")
     val id = if (batchId >= 0) batchId else nextBatchId(spark, stateDir)
     val done = committedIds(spark, stateDir)
     if (done.contains(id)) {
@@ -131,6 +142,11 @@ object IncrementalDedup {
       .write.mode("overwrite").parquet(s"$stateDir/docs/batch=$id")
 
     val bandsNewD = spark.read.parquet(s"$stateDir/bands/batch=$id")
+    // running band counts: this batch's per-key counts land in their own
+    // append-only partition, exactly like bands/signatures
+    bandsNewD.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$stateDir/band_counts/batch=$id")
+
     val bandsAll = readState(spark, stateDir, "bands", done, alsoBatch = id).get
       .select("band", "band_hash", "doc_id")
     val sigsAll = readState(spark, stateDir, "signatures", done, alsoBatch = id).get
@@ -138,9 +154,26 @@ object IncrementalDedup {
     val shaAll = readState(spark, stateDir, "docs", done, alsoBatch = id).get
       .select("doc_id", "content_sha256")
 
-    // LSH candidates touching a new doc: equi-join new bands × all bands.
-    val lshCands = bandsNewD.select(col("band"), col("band_hash"), col("doc_id").as("n"))
-      .join(bandsAll.select(col("band"), col("band_hash"), col("doc_id").as("m")),
+    // Probe-side prune: only accumulated rows whose key occurs in THIS
+    // batch can join — broadcast semi-join keeps the O(corpus) band state
+    // out of the exchange entirely (scan+filter, ∝ batch shuffle).
+    val newKeys = bandsNewD.select("band", "band_hash").distinct()
+    // Stop-bands from RUNNING counts, scoped to this batch's keys (the
+    // count state is also O(corpus keys); only keys being probed matter).
+    val hotKeys = readState(spark, stateDir, "band_counts", done, alsoBatch = id).get
+      .join(broadcast(newKeys), Seq("band", "band_hash"), "left_semi")
+      .groupBy("band", "band_hash").agg(sum("cnt").as("total"))
+      .where(col("total") > cfg.stopBandSize)
+      .select("band", "band_hash")
+    val bandsNewKept = bandsNewD.select("band", "band_hash", "doc_id")
+      .join(broadcast(hotKeys), Seq("band", "band_hash"), "left_anti")
+    val bandsProbe = bandsAll
+      .join(broadcast(newKeys), Seq("band", "band_hash"), "left_semi")
+      .join(broadcast(hotKeys), Seq("band", "band_hash"), "left_anti")
+
+    // LSH candidates touching a new doc: equi-join new bands × pruned bands.
+    val lshCands = bandsNewKept.select(col("band"), col("band_hash"), col("doc_id").as("n"))
+      .join(bandsProbe.select(col("band"), col("band_hash"), col("doc_id").as("m")),
         Seq("band", "band_hash"))
       .where(col("n") =!= col("m"))
       .select(least(col("n"), col("m")).as("a"), greatest(col("n"), col("m")).as("b"),
@@ -186,8 +219,22 @@ object IncrementalDedup {
     f.rename(next, cur)
   }
 
+  /** delete+rename is not atomic: a crash between swapIn's delete and
+    * rename leaves only `<name>_next` — which at that point IS the full
+    * merged table. Finish the rename before any reader sees a missing
+    * table; the old behavior silently rebuilt the edge table from a single
+    * batch's pairs, dropping all previously accumulated edges.
+    */
+  private def recoverSwap(spark: SparkSession, stateDir: String, name: String): Unit = {
+    val f = fs(spark, stateDir)
+    val cur = new Path(stateDir, name)
+    val next = new Path(stateDir, s"${name}_next")
+    if (!f.exists(cur) && f.exists(next)) f.rename(next, cur)
+  }
+
   /** Final clusters over the accumulated edge table (committed state only). */
   def clusters(spark: SparkSession, stateDir: String): DataFrame = {
+    recoverSwap(spark, stateDir, "pairs")
     val cat = new ParquetCatalog(stateDir)
     val docs = readState(spark, stateDir, "docs", committedIds(spark, stateDir))
       .map(_.select("doc_id")).getOrElse(spark.emptyDataFrame.withColumn("doc_id", lit(0L)))

@@ -100,6 +100,96 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(docs1 === parts(1).size.toLong, "batch-1 partition was wiped by the replay")
   }
 
+  test("crash mid pairs-swap (after delete, before rename) is recovered, not wiped") {
+    val stateDir = Files.createTempDirectory("graft-stream-swap").toString
+    val parts = corpus.grouped(corpus.size / 2 + 1).toSeq
+    def df(chunk: Seq[graft.model.CorpusRow]) =
+      spark.createDataFrame(chunk).select("repo", "path", "commit", "lang", "content")
+    IncrementalDedup.processBatch(spark, df(parts.head), stateDir, cfg, batchId = 0L)
+    IncrementalDedup.processBatch(spark, df(parts(1)), stateDir, cfg, batchId = 1L)
+    val expect = IncrementalDedup.clusters(spark, stateDir).as[(Long, Long)].collect().toMap
+    val pairsBefore = new io.ParquetCatalog(stateDir).read(spark, "pairs").count()
+
+    // simulate the non-atomic swap's crash window: `pairs` deleted, rename
+    // to come — i.e. the merged table exists only as pairs_next
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(stateDir, "pairs"),
+      new org.apache.hadoop.fs.Path(stateDir, "pairs_next")))
+
+    // any reader/replay entry point must finish the rename first; the old
+    // behavior silently rebuilt the edge table from one batch's pairs
+    val got = IncrementalDedup.clusters(spark, stateDir).as[(Long, Long)].collect().toMap
+    assert(got === expect, "recovered clusters differ from pre-crash clusters")
+    assert(new io.ParquetCatalog(stateDir).read(spark, "pairs").count() === pairsBefore)
+  }
+
+  test("running stop-band counts suppress hot buckets; bookkeeping matches a recount") {
+    def mk(i: Int) = graft.model.CorpusRow(s"r$i", s"p/$i", "c", "en",
+      s"u$i " + (0 until 150).map(t => s"tok$t").mkString(" ")) // near-dups, no exact dups
+    def df(rows: Seq[graft.model.CorpusRow]) =
+      spark.createDataFrame(rows).select("repo", "path", "commit", "lang", "content")
+
+    // control: default stop cap → the near-dup clique is found
+    val ctlDir = Files.createTempDirectory("graft-stream-stopctl").toString
+    IncrementalDedup.processBatch(spark, df((0 until 6).map(mk)), ctlDir, cfg)
+    val r2c = IncrementalDedup.processBatch(spark, df((6 until 12).map(mk)), ctlDir, cfg)
+    assert(r2c.newPairs > 0, "control: near-dup batch produced no pairs")
+
+    // stopBandSize=1: every bucket with >=2 members is hot → zero LSH
+    // candidates can ever be emitted (and there are no exact edges)
+    val stopDir = Files.createTempDirectory("graft-stream-stop").toString
+    val scfg = cfg.copy(stopBandSize = 1)
+    val r1 = IncrementalDedup.processBatch(spark, df((0 until 6).map(mk)), stopDir, scfg)
+    val r2 = IncrementalDedup.processBatch(spark, df((6 until 12).map(mk)), stopDir, scfg)
+    assert(r1.newPairs === 0L && r2.newPairs === 0L,
+      s"stop-banded stream emitted pairs: ${r1.newPairs}/${r2.newPairs}")
+
+    // the running per-key counts must equal a direct recount of the
+    // accumulated band state (accumulation across batches is exact)
+    val fromCounts = spark.read.parquet(s"$stopDir/band_counts")
+      .groupBy("band", "band_hash")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("n"))
+      .as[(Int, Long, Long)].collect().map { case (b, h, n) => ((b, h), n) }.toMap
+    val direct = spark.read.parquet(s"$stopDir/bands")
+      .groupBy("band", "band_hash").count()
+      .as[(Int, Long, Long)].collect().map { case (b, h, n) => ((b, h), n) }.toMap
+    assert(fromCounts === direct, "running band counts drifted from the band state")
+    assert(direct.values.exists(_ > 1), "scenario produced no multi-member bucket")
+  }
+
+  test("per-batch shuffle read stays ~flat while accumulated state grows (probe-side prune)") {
+    val stateDir = Files.createTempDirectory("graft-stream-shuffle").toString
+    val parts = corpus.grouped((corpus.size + 3) / 4).toSeq // 4 equal batches
+    def df(chunk: Seq[graft.model.CorpusRow]) =
+      spark.createDataFrame(chunk).select("repo", "path", "commit", "lang", "content")
+
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) bytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val perBatch = parts.map { chunk =>
+        bytes.set(0L)
+        IncrementalDedup.processBatch(spark, df(chunk), stateDir, cfg)
+        org.apache.spark.GraftTestBridge.waitListenerBus(spark.sparkContext)
+        bytes.get()
+      }
+      // accumulated band/signature state doubles from batch 2 to batch 4;
+      // the broadcast semi-join prune keeps it OUT of the exchange, so
+      // per-batch shuffle volume must grow with the batch (constant here),
+      // not with the corpus — allow 1.5x headroom for the growing pairs
+      // merge + plan noise, far below the ~2x an unpruned join would show
+      assert(perBatch(3) < (perBatch(1) * 1.5).toLong,
+        s"per-batch shuffle grew with corpus: ${perBatch.mkString(", ")} bytes")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("streaming query over a parquet file stream drives the same state") {
     val stateDir = Files.createTempDirectory("graft-stream2").toString
     val inDir = Files.createTempDirectory("graft-stream-in").toString
