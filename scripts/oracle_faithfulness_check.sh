@@ -50,3 +50,27 @@ for name in ['dedup_clusters','cluster_members','dedup_cluster_stats','first_sto
         fails += 1; print(name, 'MISMATCH', str(e)[:300])
 raise SystemExit(1 if fails else 0)
 EOF
+
+# --- margin probes (CLAUDE.md rule: re-probe whenever testdata changes) ---
+# The dedup-core oracles' rjac branch is exact Jaccard >= tau over all rep
+# pairs, while the pipeline verifies est-Jaccard/Hamming over LSH
+# candidates; value-exact oracle equality rests on no candidate pair
+# sitting NEAR tau=0.7. Assert the documented margins on both corpora:
+# every LSH candidate pair's exact Jaccard is >= 0.875 (clearly a dup on
+# both sides) or <= 0.1 (clearly not) — a pair inside the gap means the
+# margins must be re-derived before trusting green oracle rows.
+probe_margins() {
+  python3 - "$1" <<'EOF'
+import sys, pandas as pd
+d = sys.argv[1]
+j = pd.read_parquet(f'{d}/dedup_exact_jaccard')
+bad = j[(j.jaccard > 0.1) & (j.jaccard < 0.875)]
+print(f'{d}: {len(j)} LSH candidate pairs, margin violations: {len(bad)}')
+if len(bad):
+    print(bad.head(10)); raise SystemExit(1)
+EOF
+}
+probe_margins /tmp/verify_synth
+SPARK_GRAFT_CPUS=4 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_margin" >/dev/null 2>&1
+probe_margins /tmp/verify_margin
+echo "margin probes OK"

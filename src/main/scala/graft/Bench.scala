@@ -62,14 +62,28 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "1").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — used by the
+    // scaling protocol to run the SAME job on a multi-executor-JVM
+    // local-cluster[workers,coresPerWorker,memMB] (separate executor
+    // processes with real serialization + IPC boundaries on this box;
+    // needs SPARK_HOME=/opt/spark so the standalone Worker can fork them).
+    // SPARK_GRAFT_CPUS stays the TOTAL core count (= shuffle partitions).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      // forked executors need the app classes (no spark-submit jar here)
+      val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      builder
+        .config("spark.executor.extraClassPath", classes)
+        .config("spark.executor.memory", sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // The source is one small parquet file → one input partition; without

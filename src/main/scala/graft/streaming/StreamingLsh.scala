@@ -30,9 +30,10 @@ import graft.model.{BandRow, BucketState, Pair}
   *    need a second stateful stage); downstream `dropDuplicates("a","b")`
   *    or the periodic full recluster does it, same as the batch union.
   *
-  * Verification composes downstream: a stream-static join of the emitted
-  * pairs against the persisted signature table + the same Verifier rule
-  * (IncrementalDedup does exactly this in its foreachBatch form).
+  * Verification composes downstream IN-STREAM via [[verifiedStream]]: a
+  * stream-static join of the emitted pairs against a signature table + the
+  * same Verifier rule (IncrementalDedup does the batch-side equivalent in
+  * its foreachBatch form).
   */
 object StreamingLsh {
 
@@ -93,4 +94,22 @@ object StreamingLsh {
           }
       }
   }
+
+  /** Emit → verify composed in one streaming query: the stateful candidate
+    * stream joined STREAM-STATIC against a signature table, then the exact
+    * batch Verifier rule (est ≥ τ OR hamming ≤ max). Stays in Append mode —
+    * verification is two equi-joins plus codegen'd column arithmetic, no
+    * aggregation, so Structured Streaming plans it as-is.
+    *
+    * `sigsStatic` is re-read per micro-batch (stream-static join
+    * semantics), so pointing it at the incremental state's accumulated
+    * `signatures` table picks up newly committed partitions as the stream
+    * progresses; pairs whose endpoints are not yet in the table are dropped
+    * by the inner join (they re-emerge from the periodic full recluster —
+    * same late-data contract as the batch union).
+    */
+  def verifiedStream(spark: SparkSession, corpusStream: DataFrame,
+      sigsStatic: DataFrame, cfg: DedupConfig = DedupConfig.default): DataFrame =
+    graft.verify.Verifier.verifyLshPairs(
+      candidateStream(spark, corpusStream, cfg).toDF(), sigsStatic, cfg)
 }

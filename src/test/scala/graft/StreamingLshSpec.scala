@@ -54,6 +54,39 @@ class StreamingLshSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("in-stream emit -> verify (stream-static) == batch verify over the same candidates") {
+    implicit val sqlCtx = spark.sqlContext
+    // static signature table covering the streamed docs (in production:
+    // the incremental state's accumulated signatures, re-read per batch)
+    val t1 = ingest.Ingest.ingest(
+      spark.createDataFrame(corpus).select("repo", "path", "commit", "lang", "content"))
+    val sigs = DedupPipeline.signatures(spark, t1, cfg).persist()
+
+    val input = MemoryStream[CorpusRow]
+    val q = StreamingLsh.verifiedStream(spark, input.toDF(), sigs, cfg)
+      .writeStream.format("memory").queryName("stream_lsh_verified")
+      .outputMode(OutputMode.Append).start()
+    try {
+      corpus.grouped((corpus.size + 2) / 3).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("stream_lsh_verified")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+
+    val (batchPairs, _) = lsh.CandidatePairs.generate(
+      spark, lsh.Banding.bandRows(sigs, cfg), cfg)
+    val expected = verify.Verifier.verifyLshPairs(batchPairs, sigs, cfg)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    sigs.unpersist(blocking = false)
+
+    assert(streamed === expected,
+      s"extra=${(streamed -- expected).take(5)} missing=${(expected -- streamed).take(5)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("stop cap tombstones a hot bucket: no quadratic state, no emissions past the cap") {
     implicit val sqlCtx = spark.sqlContext
     // 30 identical docs → identical signatures → every bucket is hot under

@@ -253,6 +253,13 @@ object ProfPlans {
     val (pairs, _) = graft.lsh.CandidatePairs.generateJoin(spark, bands, cfg)
     show("pair_gen_slim_join", pairs)
     show("verify_two_phase", graft.verify.Verifier.verifyLshPairs(pairs, sigs, cfg))
+    // pair collapse must stay a HashAggregate over the int priority — a
+    // min(string) collapse plans a SortAggregate that double-sorts every
+    // pair table (PlanSpec asserts; this dump is the human-readable twin)
+    val exact = graft.lsh.CandidatePairs.exactPairs(t1)
+    show("pair_collapse_strongest",
+      graft.lsh.CandidatePairs.strongest(pairs.unionByName(exact)))
+    show("dedup_jaccard_sql", graft.SparkEntry.queries("dedup_jaccard_sql")(spark, d))
     spark.stop()
   }
 }
