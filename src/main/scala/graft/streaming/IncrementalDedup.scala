@@ -50,12 +50,22 @@ import graft.io.ParquetCatalog
   * stream grows unbounded candidate emission until the periodic recluster.
   * Remaining within-cap skew is AQE skew-split's job (the join is a shuffle
   * join, which AQE *can* split, unlike the batch path's flatMapGroups).
-  * The suffix/containment pass is not incremental — it runs in the periodic
-  * full recluster (documented deviation, SURVEY.md §2.8 row 44).
+  *
+  * Suffix/containment pass, incremental with EXACT batch semantics: the
+  * batch pass drops a gram whose doc-frequency exceeds `suffixDfMax`
+  * RETROACTIVELY (boilerplate headers must never create pairs even if their
+  * first few carriers arrive early), which a stream cannot do by un-emitting.
+  * Instead each batch appends verified suffix pairs WITH their anchor-gram
+  * provenance (`sfx_pairs/batch=<id>`: a, b, fp) plus per-batch gram counts
+  * (`gram_counts/batch=<id>`), and [[edges]] filters at READ time against
+  * the accumulated counts: a pair is live iff ≥1 of its anchor grams has
+  * final df ≤ cap. df only grows, so "emitted under the running cap, then
+  * filtered by the final cap" equals the batch rule exactly (StreamingSpec
+  * asserts cluster equality against the batch pipeline WITH suffix pass).
   */
 object IncrementalDedup {
 
-  final case class BatchResult(newPairs: Long, totalDocs: Long)
+  final case class BatchResult(newPairs: Long, totalDocs: Long, newSuffixPairs: Long = 0L)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -147,6 +157,22 @@ object IncrementalDedup {
     bandsNewD.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$stateDir/band_counts/batch=$id")
 
+    // Suffix state is kept per sha-REP (the first batch carrying a content
+    // wins; within a batch the min doc_id): gram doc-frequency then counts
+    // DISTINCT contents — the batch pass's df semantics — and the
+    // identical-content mass never enters the token/gram state. Member
+    // docs' suffix pairs are implied by the exact-star edges, exactly as in
+    // the batch pipeline's rep-only design.
+    val newShaDocs = docsOld match {
+      case Some(old) => t1New.join(old.select("content_sha256").distinct(),
+        Seq("content_sha256"), "left_anti")
+      case None => t1New
+    }
+    val repsNew = newShaDocs.join(
+      newShaDocs.groupBy("content_sha256").agg(min("doc_id").as("doc_id")),
+      Seq("content_sha256", "doc_id"))
+    val newSfxPairs = suffixIncrement(spark, stateDir, repsNew, done, id, cfg)
+
     val bandsAll = readState(spark, stateDir, "bands", done, alsoBatch = id).get
       .select("band", "band_hash", "doc_id")
     val sigsAll = readState(spark, stateDir, "signatures", done, alsoBatch = id).get
@@ -208,7 +234,102 @@ object IncrementalDedup {
     commit(spark, stateDir, id)
     val totalDocs = readState(spark, stateDir, "docs", done, alsoBatch = id)
       .map(_.count()).getOrElse(0L)
-    BatchResult(newPairCount, totalDocs)
+    BatchResult(newPairCount, totalDocs, newSfxPairs)
+  }
+
+  /** Incremental suffix/containment pass (scaladoc above): tokenize the new
+    * sha-rep docs, append their token streams / minLen-gram index /
+    * per-gram counts as batch partitions, generate candidates new×all over
+    * grams under the RUNNING df-cap (broadcast-pruned probe side, like the
+    * band join), verify with the per-pair suffix-array kernel, and append
+    * the verified pairs WITH anchor-gram provenance — the read side
+    * ([[edges]]) applies the final retroactive cap.
+    *
+    * @return number of verified suffix pair rows appended for this batch
+    */
+  private def suffixIncrement(spark: SparkSession, stateDir: String,
+      repsNew: DataFrame, done: Seq[Long], id: Long, cfg: DedupConfig): Long = {
+    import spark.implicits._
+    val minLen = cfg.suffixMinLen
+
+    val toksNew = graft.suffix.SuffixPass.tokenDocs(spark, repsNew, cfg)
+      .filter(_.tokens.length >= minLen) // can't hold a minLen run otherwise
+    toksNew.toDF().write.mode("overwrite").parquet(s"$stateDir/toks/batch=$id")
+    val toksNewD = spark.read.parquet(s"$stateDir/toks/batch=$id")
+
+    toksNewD.select(col("doc_id"), col("tokens")).as[(Long, Array[Long])]
+      .flatMap { case (d, tk) =>
+        graft.suffix.SuffixPass.grams(tk, minLen).map(fp => (fp, d))
+      }
+      .toDF("fp", "doc_id")
+      .write.mode("overwrite").parquet(s"$stateDir/grams/batch=$id")
+    val gramsNewD = spark.read.parquet(s"$stateDir/grams/batch=$id")
+    // grams() emits distinct grams per doc, so count(*) = docs-per-gram
+    gramsNewD.groupBy("fp").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$stateDir/gram_counts/batch=$id")
+
+    // probe-side prune + running df-cap, same shape as the band join
+    val newFps = gramsNewD.select("fp").distinct()
+    val hotFps = readState(spark, stateDir, "gram_counts", done, alsoBatch = id).get
+      .join(broadcast(newFps), Seq("fp"), "left_semi")
+      .groupBy("fp").agg(sum("cnt").as("total"))
+      .where(col("total") > cfg.suffixDfMax)
+      .select("fp")
+    val gramsNewKept = gramsNewD.join(broadcast(hotFps), Seq("fp"), "left_anti")
+    val gramsProbe = readState(spark, stateDir, "grams", done, alsoBatch = id).get
+      .join(broadcast(newFps), Seq("fp"), "left_semi")
+      .join(broadcast(hotFps), Seq("fp"), "left_anti")
+
+    // candidate pairs WITH anchor-gram provenance (read-time cap needs it)
+    val prov = gramsNewKept.select(col("fp"), col("doc_id").as("n"))
+      .join(gramsProbe.select(col("fp"), col("doc_id").as("m")), Seq("fp"))
+      .where(col("n") =!= col("m"))
+      .select(least(col("n"), col("m")).as("a"), greatest(col("n"), col("m")).as("b"), col("fp"))
+      .distinct()
+
+    // verify each distinct pair once; token streams attach broadcast-pruned
+    val candPairs = prov.select("a", "b").distinct()
+    val ends = candPairs.select(col("a").as("doc_id"))
+      .unionByName(candPairs.select(col("b").as("doc_id"))).distinct()
+    val toksCand = readState(spark, stateDir, "toks", done, alsoBatch = id).get
+      .join(broadcast(ends), Seq("doc_id"), "left_semi")
+    val verifiedSfx = candPairs
+      .join(toksCand.select(col("doc_id").as("a"), col("tokens").as("ta")), "a")
+      .join(toksCand.select(col("doc_id").as("b"), col("tokens").as("tb")), "b")
+      .select(col("a"), col("b"), col("ta"), col("tb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.flatMap { case (a, b, tA, tB) =>
+        if (graft.suffix.SuffixArrays.maxCommonSubstring(tA, tB) >= minLen) Some((a, b))
+        else None
+      })
+      .toDF("a", "b")
+
+    prov.join(verifiedSfx, Seq("a", "b"), "left_semi")
+      .write.mode("overwrite").parquet(s"$stateDir/sfx_pairs/batch=$id")
+    spark.read.parquet(s"$stateDir/sfx_pairs/batch=$id")
+      .select("a", "b").distinct().count()
+  }
+
+  /** The composed live edge set: the merged LSH/exact pairs table plus the
+    * suffix pairs whose anchor gram is still under the FINAL df-cap
+    * (retroactive boilerplate defense — see the class scaladoc).
+    */
+  def edges(spark: SparkSession, stateDir: String,
+      cfg: DedupConfig = DedupConfig.default): DataFrame = {
+    recoverSwap(spark, stateDir, "pairs")
+    val cat = new ParquetCatalog(stateDir)
+    val base = cat.read(spark, "pairs").select("a", "b")
+    val committed = committedIds(spark, stateDir)
+    (readState(spark, stateDir, "sfx_pairs", committed),
+      readState(spark, stateDir, "gram_counts", committed)) match {
+      case (Some(sfx), Some(counts)) =>
+        val hot = counts.groupBy("fp").agg(sum("cnt").as("total"))
+          .where(col("total") > cfg.suffixDfMax)
+          .select("fp")
+        base.unionByName(
+          sfx.join(hot, Seq("fp"), "left_anti").select("a", "b").distinct())
+      case _ => base
+    }
   }
 
   private def swapIn(spark: SparkSession, stateDir: String, name: String): Unit = {
@@ -232,14 +353,14 @@ object IncrementalDedup {
     if (!f.exists(cur) && f.exists(next)) f.rename(next, cur)
   }
 
-  /** Final clusters over the accumulated edge table (committed state only). */
-  def clusters(spark: SparkSession, stateDir: String): DataFrame = {
-    recoverSwap(spark, stateDir, "pairs")
-    val cat = new ParquetCatalog(stateDir)
+  /** Final clusters over the accumulated live edge set (committed state
+    * only; LSH/exact pairs ∪ retroactively-capped suffix pairs).
+    */
+  def clusters(spark: SparkSession, stateDir: String,
+      cfg: DedupConfig = DedupConfig.default): DataFrame = {
     val docs = readState(spark, stateDir, "docs", committedIds(spark, stateDir))
       .map(_.select("doc_id")).getOrElse(spark.emptyDataFrame.withColumn("doc_id", lit(0L)))
-    val mapping = graft.cc.ConnectedComponents.run(
-      spark, cat.read(spark, "pairs").select("a", "b"))
+    val mapping = graft.cc.ConnectedComponents.run(spark, edges(spark, stateDir, cfg))
     graft.cc.ConnectedComponents.assignAll(docs, mapping)
   }
 

@@ -61,20 +61,72 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
     val t1 = ingest.Ingest.ingest(
       spark.createDataFrame(corpus).select("repo", "path", "commit", "lang", "content"))
-    val batch = DedupPipeline.run(spark, t1, cfg, withSuffixPass = false)
+    val batch = DedupPipeline.run(spark, t1, cfg, withSuffixPass = true)
 
     // The batch pipeline runs LSH over sha-distinct reps only; incremental
-    // mode bands every doc, so its pair set is a superset (member-level
-    // LSH pairs are implied by exact edges). Clusters must agree exactly.
-    val incPairs = new io.ParquetCatalog(stateDir).read(spark, "pairs")
+    // mode bands every doc, so its LSH/exact edge set is a superset
+    // (member-level pairs are implied by exact edges). Suffix pairs are
+    // rep-level on BOTH sides but the two pick reps differently (global min
+    // doc_id vs first arrival), so suffix coverage is asserted through the
+    // exact cluster equality below — including the retroactive df-cap
+    // (boilerplate grams whose carriers arrived spread over batches).
+    val incPairs = IncrementalDedup.edges(spark, stateDir, cfg)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    val batchPairs = batch.verifiedPairs.select("a", "b").as[(Long, Long)].collect().toSet
+    val batchPairs = batch.verifiedPairs.where($"src" =!= "suffix")
+      .select("a", "b").as[(Long, Long)].collect().toSet
     assert((batchPairs -- incPairs).isEmpty,
       s"incremental missing pairs: ${(batchPairs -- incPairs).take(5)}")
 
-    val incClusters = IncrementalDedup.clusters(spark, stateDir)
+    val incClusters = IncrementalDedup.clusters(spark, stateDir, cfg)
       .as[(Long, Long)].collect().toMap
     val batchClusters = batch.clusters.as[(Long, Long)].collect().toMap
+    assert(incClusters === batchClusters)
+  }
+
+  test("incremental suffix pass: containment found across batches; retroactive df-cap") {
+    // doc 0 (batch A) is contained verbatim in doc 1 (batch B) — the pair
+    // must be found even though the endpoints arrive in different batches.
+    // Docs 100.. share a 60-token boilerplate header; the header's gram df
+    // crosses suffixDfMax only once batch B lands, so the header pairs
+    // emitted while batch A was under the cap must be RETROACTIVELY dead in
+    // the composed edge set (exact batch semantics), while the containment
+    // pair (whose grams stay rare) survives.
+    def tok(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val contained = tok("inner", 60)
+    val big = tok("pre", 200) + " " + contained + " " + tok("post", 200)
+    val header = tok("hdr", 60)
+    val scfg = cfg.copy(suffixDfMax = 8)
+    def boiler(i: Int) =
+      graft.model.CorpusRow("rb", s"b/$i", "c", "en", header + " " + tok(s"tail${i}_", 150))
+    val batchA = Seq(graft.model.CorpusRow("r", "p/0", "c", "en", contained)) ++
+      (100 until 106).map(boiler) // 6 header carriers: under cap
+    val batchB = Seq(graft.model.CorpusRow("r", "p/1", "c", "en", big)) ++
+      (106 until 112).map(boiler) // 12 total: over cap=8 → retroactively dead
+
+    val stateDir = Files.createTempDirectory("graft-stream-sfx").toString
+    def df(rows: Seq[graft.model.CorpusRow]) =
+      spark.createDataFrame(rows).select("repo", "path", "commit", "lang", "content")
+    val rA = IncrementalDedup.processBatch(spark, df(batchA), stateDir, scfg)
+    assert(rA.newSuffixPairs > 0, "under-cap header pairs should be emitted in batch A")
+    IncrementalDedup.processBatch(spark, df(batchB), stateDir, scfg)
+
+    val ids = ingest.Ingest.ingest(df(batchA ++ batchB))
+      .select($"path", $"doc_id").as[(String, Long)].collect().toMap
+    val live = IncrementalDedup.edges(spark, stateDir, scfg)
+      .as[(Long, Long)].collect().toSet
+      .map { p: (Long, Long) => (math.min(p._1, p._2), math.max(p._1, p._2)) }
+    val cPair = (math.min(ids("p/0"), ids("p/1")), math.max(ids("p/0"), ids("p/1")))
+    assert(live.contains(cPair), "cross-batch containment pair missing")
+    val boilerIds = (100 until 112).map(i => ids(s"b/$i")).toSet
+    assert(!live.exists(p => boilerIds(p._1) && boilerIds(p._2)),
+      "boilerplate header pairs must be retroactively dead once df > cap")
+
+    // and the batch pipeline agrees end-to-end on this corpus
+    val batchClusters = DedupPipeline.run(spark,
+        ingest.Ingest.ingest(df(batchA ++ batchB)), scfg)
+      .clusters.as[(Long, Long)].collect().toMap
+    val incClusters = IncrementalDedup.clusters(spark, stateDir, scfg)
+      .as[(Long, Long)].collect().toMap
     assert(incClusters === batchClusters)
   }
 
@@ -180,12 +232,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         org.apache.spark.GraftTestBridge.waitListenerBus(spark.sparkContext)
         bytes.get()
       }
-      // accumulated band/signature state doubles from batch 2 to batch 4;
-      // the broadcast semi-join prune keeps it OUT of the exchange, so
-      // per-batch shuffle volume must grow with the batch (constant here),
-      // not with the corpus — allow 1.5x headroom for the growing pairs
-      // merge + plan noise, far below the ~2x an unpruned join would show
-      assert(perBatch(3) < (perBatch(1) * 1.5).toLong,
+      // accumulated band/gram/signature state quadruples from batch 1 to
+      // batch 4; the broadcast semi-join prunes keep it OUT of the
+      // exchanges, so per-batch shuffle volume must track the BATCH
+      // (constant here) plus output-sized terms (pairs merge, cross-batch
+      // matches) — allow 1.5x headroom over the equal-sized first batch;
+      // an unpruned probe side would re-shuffle the full accumulated
+      // band+gram state (multiples of a batch's own volume) and blow
+      // far past it
+      assert(perBatch(3) < (perBatch(0) * 1.5).toLong,
         s"per-batch shuffle grew with corpus: ${perBatch.mkString(", ")} bytes")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
