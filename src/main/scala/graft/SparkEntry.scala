@@ -33,18 +33,35 @@ object SparkEntry {
   private val pipeCache =
     scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DedupPipeline.Result)]
 
+  private def releaseResult(r: DedupPipeline.Result): Unit =
+    // unpersist on a stopped context throws — ignore
+    scala.util.Try { r.release(); r.t1.unpersist(false) }
+
   private def pipeline(spark: SparkSession, sfDir: String): DedupPipeline.Result =
     pipeCache.get(sfDir) match {
       case Some((owner, res)) if owner eq spark => res
-      case _ =>
-        val res = DedupPipeline.run(spark, docsT1(spark, sfDir), cfg)
-        pipeCache.put(sfDir, (spark, res)).foreach { case (_, old) =>
-          // evicted entry: drop its persisted stages so replaced results
-          // don't pin pair/cluster caches in a shared SparkContext for the
-          // session's life (unpersist on a stopped context throws — ignore)
-          scala.util.Try { old.release(); old.t1.unpersist(false) }
+      case stale =>
+        // same-key entry owned by a replaced session: evict-and-release
+        // BEFORE building, so its persisted pair/cluster caches don't pin a
+        // shared SparkContext for the session's life
+        stale.foreach { case (_, old) =>
+          if (pipeCache.remove(sfDir, stale.get)) releaseResult(old)
         }
-        res
+        val res = DedupPipeline.run(spark, docsT1(spark, sfDir), cfg)
+        pipeCache.putIfAbsent(sfDir, (spark, res)) match {
+          case Some((owner, winner)) if owner eq spark =>
+            // lost a same-session build race: use the winner and drop our
+            // duplicate caches (a blind put here would instead unpersist the
+            // Result the other thread is mid-query on)
+            releaseResult(res)
+            winner
+          case Some(_) =>
+            // raced with a different session's build for the same key — keep
+            // ours un-cached rather than unpersist state another live
+            // session may be using
+            res
+          case None => res
+        }
     }
 
   /** Original document id recovered from the canonical path ('doc/<id>') —
@@ -243,7 +260,11 @@ object SparkEntry {
       // to the DuckDB twin's array_to_string(tk[i:i+k], ' ') construction.
       val k = cfg.shingleK
       val ex = s.read.parquet(s"$d/documents.parquet")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text"))
+        // single small parquet file = one scan partition: spread before the
+        // typed kernel or the hot shingling loop runs on one core
+        .repartition(s.sparkContext.defaultParallelism * 2)
+        .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           if (text == null) Iterator.empty
           else {

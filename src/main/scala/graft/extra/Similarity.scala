@@ -77,9 +77,16 @@ object Similarity extends Serializable {
 
     val partials = emb.mapPartitions { it =>
       // per-partition top-k per query: bounded heaps, shuffle carries only
-      // k rows per (query, partition)
+      // k rows per (query, partition). The heap order matches the final
+      // ranking's tie-break (cos desc, then neighbor_id asc): with exact
+      // cosine ties at the k boundary (duplicate embeddings are a real
+      // hot-tail case) an order-of-arrival heap would keep an arbitrary
+      // member while the DuckDB oracle keeps the smallest ids.
       val heaps = queries.map(_ => new java.util.PriorityQueue[Scored](
-        (x: Scored, y: Scored) => java.lang.Double.compare(x.cos, y.cos)))
+        (x: Scored, y: Scored) => {
+          val c = java.lang.Double.compare(x.cos, y.cos)
+          if (c != 0) c else java.lang.Long.compare(y.neighbor_id, x.neighbor_id)
+        }))
       it.foreach { e =>
         var qi = 0
         while (qi < queries.length) {
@@ -88,7 +95,12 @@ object Similarity extends Serializable {
             val c = cosine(q.embedding, e.embedding)
             val h = heaps(qi)
             if (h.size < k) h.add(Scored(q.vec_id, e.vec_id, c))
-            else if (h.peek().cos < c) { h.poll(); h.add(Scored(q.vec_id, e.vec_id, c)) }
+            else {
+              val w = h.peek()
+              if (w.cos < c || (w.cos == c && e.vec_id < w.neighbor_id)) {
+                h.poll(); h.add(Scored(q.vec_id, e.vec_id, c))
+              }
+            }
           }
           qi += 1
         }

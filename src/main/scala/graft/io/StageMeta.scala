@@ -80,6 +80,10 @@ object StageMeta {
 
   def read(spark: SparkSession, catalog: ParquetCatalog): DataFrame =
     spark.read.parquet(catalog.location(StageMetaDir))
+      // workdirs written before the Option[rows] convention carry -1
+      // sentinels for "per-file split unknown"; normalize so naive
+      // sum(rows)-per-stage consumers stay correct on resumed legacy dirs
+      .withColumn("rows", when(col("rows") === -1L, lit(null)).otherwise(col("rows")))
 
   /** Latest recorded fingerprint for a stage, if any. */
   def lastFingerprint(spark: SparkSession, catalog: ParquetCatalog, stage: String): Option[String] = {

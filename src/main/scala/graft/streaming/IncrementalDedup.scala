@@ -11,67 +11,101 @@ import graft.io.ParquetCatalog
 
 /** Incremental / streaming dedup (SURVEY.md §2.8).
   *
-  * Batch-incremental core ([[processBatch]]): new docs are ingested, signed
-  * and banded; candidates are new×(old ∪ new) via an equi-join of the new
-  * band rows against the accumulated band table — only pairs touching a new
-  * doc are generated, old×old never recomputed.
+  * Batch-incremental core ([[processBatch]]): new docs are ingested; the
+  * sha-new ones' first carriers (one representative per previously-unseen
+  * content_sha256 — the incremental analogue of the batch pipeline's
+  * rep-only LSH over sha-distinct docs) are signed and banded; candidates
+  * are new×(old ∪ new) via an equi-join of the new band rows against the
+  * accumulated band table — only pairs touching a new rep are generated,
+  * old×old never recomputed. Because signatures/bands/counts are functions
+  * of CONTENT alone, the accumulated band state and its running counts are
+  * row-for-row the ones the batch pipeline computes over the same corpus
+  * (rep doc_ids differ — first arrival vs global min — but exact-star edges
+  * glue members identically, so the cluster partition is the same).
   *
-  * State layout — APPEND-ONLY where the state grows with the corpus:
-  * `bands/`, `signatures/`, `docs/` are partitioned by `batch=<id>`; a
-  * micro-batch writes ONLY its own partition, so per-batch write volume is
-  * ∝ batch size (the old design rewrote the full accumulated state every
-  * batch — O(corpus) I/O per batch, quadratic over a stream's life). The
-  * `pairs` edge table stays merge-rewritten via an atomic `_next` swap: it
-  * is small relative to bands/signatures (verified edges only) and the
-  * merge dedups replayed edges; production would compact it periodically.
+  * State layout — ALL pair/band/doc state is APPEND-ONLY, partitioned by
+  * `batch=<id>`; a micro-batch writes ONLY its own partitions, so per-batch
+  * write volume is ∝ batch size (an earlier design merge-rewrote a `pairs`
+  * table through a delete+rename swap every batch — O(pairs) I/O per batch
+  * plus a non-atomic crash window; with per-batch partitions there is no
+  * rewrite and no swap at all).
   *
   * Exactly-once: a batch id is committed by writing a `_commits/batch-<id>`
   * marker LAST. A replayed id (Structured Streaming restart, crash between
   * the partition writes and the marker) is either skipped (marker present)
-  * or safely re-run: partition writes are overwrite-idempotent and the
-  * pairs merge dedups. Re-ingest of an already-known doc_id (at any batch)
-  * is dropped by an anti-join against the accumulated docs, so state rows
-  * stay unique per doc and candidate joins never inflate.
+  * or safely re-run: readers ([[edges]], the in-batch state reads) only
+  * trust COMMITTED partitions, and partition writes are
+  * overwrite-idempotent. Re-ingest of an already-known doc_id (at any
+  * batch) is dropped by an anti-join against the accumulated docs, so state
+  * rows stay unique per doc and candidate joins never inflate.
+  *
+  * Probe-side pruning: the accumulated band/gram/signature state is
+  * O(corpus), but only rows whose key occurs in THIS batch can produce a
+  * candidate — a semi-join against the new batch's distinct keys turns the
+  * per-batch O(corpus) shuffle into a scan+filter (no exchange of the
+  * accumulated side; per-batch shuffle volume is ∝ batch + matches,
+  * asserted sublinear by StreamingSpec). The key side is broadcast only
+  * while provably small ([[semiPrune]]): gram fingerprints scale with token
+  * count (~10^8 distinct for a 50k-doc batch), and an unconditional
+  * broadcast() hint bypasses every driver-memory safety.
+  *
+  * Stop-bands, retroactive with EXACT batch semantics: the batch pass drops
+  * a band whose FINAL rep-count exceeds `stopBandSize`; a stream cannot
+  * un-emit, so each batch appends its verified LSH pairs WITH (band,
+  * band_hash) provenance (`lsh_pairs/batch=<id>`) plus per-batch band
+  * counts (`band_counts/batch=<id>`), and [[edges]] filters at READ time: a
+  * pair is live iff ≥1 of its emitting bands has final accumulated count ≤
+  * stopBandSize. Counts only grow, so "emitted under the running cap, then
+  * filtered by the final cap" equals the batch rule exactly — a band under
+  * the final cap was under the running cap at every emission, so every pair
+  * it holds carries its provenance row; a band over the final cap is dead
+  * regardless of when its pairs were emitted (StreamingSpec asserts cluster
+  * equality against the batch pipeline across a mid-stream cap crossing).
+  * The running-cap filter at emission time is the cost guard (a hot band in
+  * a stream must not grow unbounded candidate emission); the read-time
+  * filter is the semantics.
+  *
+  * The suffix/containment pass ([[suffixIncrement]]) is the same design one
+  * level down: per-rep token/gram state, candidates under the running gram
+  * df-cap, verified pairs appended with anchor-gram provenance
+  * (`sfx_pairs/batch=<id>`), final-df filtering at read time.
+  *
+  * Exact-duplicate edges are linear, not pairwise: each batch appends a
+  * within-batch star (batch-min doc per sha → its batch members) plus one
+  * glue edge per sha that crosses batches (accumulated rep ↔ batch min) to
+  * `exact_pairs/batch=<id>`. The edge SET differs from the batch pipeline's
+  * global-rep star but spans the same components (a chain of stars), so the
+  * cluster partition is identical — and a sha group of k docs arriving over
+  * a stream's life costs O(k) edge rows, not the O(k²) a new×all-old
+  * content_sha256 join would write.
   *
   * The streaming face ([[startStream]]) is `readStream` →
   * `foreachBatch(processBatch)` with the real batch id passed through.
-  *
-  * Probe-side pruning: the accumulated band table is O(corpus), but only
-  * rows whose (band, band_hash) occurs in THIS batch can produce a
-  * candidate — a broadcast left_semi against the new batch's distinct keys
-  * turns the per-batch O(corpus) band shuffle into a scan+filter (no
-  * exchange of the accumulated side at all; per-batch shuffle volume is
-  * ∝ batch + matches, asserted sublinear by StreamingSpec).
-  *
-  * Skew/stop-bands: a per-batch `band_counts` partition (append-only, like
-  * bands) maintains RUNNING band sizes; keys whose accumulated count
-  * exceeds cfg.stopBandSize are dropped from both join sides — the batch
-  * pipeline's stop-band policy, incrementally. Without it a hot band in a
-  * stream grows unbounded candidate emission until the periodic recluster.
-  * Remaining within-cap skew is AQE skew-split's job (the join is a shuffle
-  * join, which AQE *can* split, unlike the batch path's flatMapGroups).
-  *
-  * Suffix/containment pass, incremental with EXACT batch semantics: the
-  * batch pass drops a gram whose doc-frequency exceeds `suffixDfMax`
-  * RETROACTIVELY (boilerplate headers must never create pairs even if their
-  * first few carriers arrive early), which a stream cannot do by un-emitting.
-  * Instead each batch appends verified suffix pairs WITH their anchor-gram
-  * provenance (`sfx_pairs/batch=<id>`: a, b, fp) plus per-batch gram counts
-  * (`gram_counts/batch=<id>`), and [[edges]] filters at READ time against
-  * the accumulated counts: a pair is live iff ≥1 of its anchor grams has
-  * final df ≤ cap. df only grows, so "emitted under the running cap, then
-  * filtered by the final cap" equals the batch rule exactly (StreamingSpec
-  * asserts cluster equality against the batch pipeline WITH suffix pass).
   */
 object IncrementalDedup {
 
   final case class BatchResult(newPairs: Long, totalDocs: Long, newSuffixPairs: Long = 0L)
 
+  /** Keys-side row cap for broadcasting the semi-join prunes; above it fall
+    * back to a shuffle semi-join (correct, just pays an exchange — a batch
+    * that large dominates the join cost anyway).
+    */
+  private val BroadcastKeyCap = 2000000L
+
+  private def semiPrune(state: DataFrame, keys: DataFrame, keyCols: Seq[String],
+      keyRowsUpperBound: Long): DataFrame =
+    if (keyRowsUpperBound <= BroadcastKeyCap)
+      state.join(broadcast(keys), keyCols, "left_semi")
+    else state.join(keys, keyCols, "left_semi")
+
+  private def antiPrune(state: DataFrame, keys: DataFrame, keyCols: Seq[String],
+      keyRowsUpperBound: Long): DataFrame =
+    if (keyRowsUpperBound <= BroadcastKeyCap)
+      state.join(broadcast(keys), keyCols, "left_anti")
+    else state.join(keys, keyCols, "left_anti")
+
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def committed(spark: SparkSession, stateDir: String, id: Long): Boolean =
-    fs(spark, stateDir).exists(new Path(s"$stateDir/_commits/batch-$id"))
 
   private def commit(spark: SparkSession, stateDir: String, id: Long): Unit = {
     val f = fs(spark, stateDir)
@@ -118,7 +152,6 @@ object IncrementalDedup {
       cfg: DedupConfig = DedupConfig.default,
       batchId: Long = -1L): BatchResult = {
     val cat = new ParquetCatalog(stateDir)
-    recoverSwap(spark, stateDir, "pairs")
     val id = if (batchId >= 0) batchId else nextBatchId(spark, stateDir)
     val done = committedIds(spark, stateDir)
     if (done.contains(id)) {
@@ -131,25 +164,54 @@ object IncrementalDedup {
       .map(_.select("doc_id", "content_sha256"))
 
     // genuinely-new docs only: replay/re-ingest of a known doc_id must not
-    // duplicate state rows (slim anti-join on the id)
+    // duplicate state rows. Both anti-joins below are phrased as "prune the
+    // O(corpus) accumulated side down to the batch's hits first" — the
+    // accumulated side is never the broadcast candidate and never enters an
+    // exchange (scan+filter), same discipline as the band-probe prune.
     val t1Raw = graft.ingest.Ingest.ingest(corpusBatch)
       .select("doc_id", "repo", "lang", "content_sha256", "content")
       .dropDuplicates("doc_id")
+      .persist()
+    val nRaw = t1Raw.count()
     val t1Fresh = docsOld match {
-      case Some(old) => t1Raw.join(old.select("doc_id"), Seq("doc_id"), "left_anti")
+      case Some(old) =>
+        val oldIdHit = semiPrune(old.select("doc_id"),
+          t1Raw.select("doc_id"), Seq("doc_id"), nRaw)
+        antiPrune(t1Raw, oldIdHit, Seq("doc_id"), nRaw)
       case None => t1Raw
     }
     cat.write(t1Fresh, "incoming_t1") // scratch, overwritten every batch
+    t1Raw.unpersist(blocking = false)
     val t1New = cat.read(spark, "incoming_t1")
 
-    val sigsNew = DedupPipeline.signatures(spark, t1New, cfg)
+    t1New.select("doc_id", "content_sha256")
+      .write.mode("overwrite").parquet(s"$stateDir/docs/batch=$id")
+    // parquet metadata count: this batch's doc count, reused as the upper
+    // bound for every broadcast-vs-shuffle prune decision below
+    val nNew = spark.read.parquet(s"$stateDir/docs/batch=$id").count()
+
+    // First carrier per previously-unseen sha (min doc_id within the batch)
+    // — the only docs that enter LSH/suffix state. Docs whose sha is already
+    // known contribute exact-star edges only, exactly like the batch
+    // pipeline's members.
+    val newShaDocs = docsOld match {
+      case Some(old) =>
+        val oldShaHit = semiPrune(old.select("content_sha256"),
+          t1New.select("content_sha256").distinct(), Seq("content_sha256"), nNew)
+          .distinct()
+        antiPrune(t1New, oldShaHit, Seq("content_sha256"), nNew)
+      case None => t1New
+    }
+    val repsNew = newShaDocs.join(
+      newShaDocs.groupBy("content_sha256").agg(min("doc_id").as("doc_id")),
+      Seq("content_sha256", "doc_id"))
+
+    val sigsNew = DedupPipeline.signatures(spark, repsNew, cfg)
     // append-only writes: ONLY this batch's partition is touched
     sigsNew.write.mode("overwrite").parquet(s"$stateDir/signatures/batch=$id")
     val sigsNewD = spark.read.parquet(s"$stateDir/signatures/batch=$id")
     val bandsNew = graft.lsh.Banding.bandRows(sigsNewD, cfg)
     bandsNew.write.mode("overwrite").parquet(s"$stateDir/bands/batch=$id")
-    t1New.select("doc_id", "content_sha256")
-      .write.mode("overwrite").parquet(s"$stateDir/docs/batch=$id")
 
     val bandsNewD = spark.read.parquet(s"$stateDir/bands/batch=$id")
     // running band counts: this batch's per-key counts land in their own
@@ -157,80 +219,81 @@ object IncrementalDedup {
     bandsNewD.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$stateDir/band_counts/batch=$id")
 
-    // Suffix state is kept per sha-REP (the first batch carrying a content
-    // wins; within a batch the min doc_id): gram doc-frequency then counts
-    // DISTINCT contents — the batch pass's df semantics — and the
-    // identical-content mass never enters the token/gram state. Member
-    // docs' suffix pairs are implied by the exact-star edges, exactly as in
-    // the batch pipeline's rep-only design.
-    val newShaDocs = docsOld match {
-      case Some(old) => t1New.join(old.select("content_sha256").distinct(),
-        Seq("content_sha256"), "left_anti")
-      case None => t1New
-    }
-    val repsNew = newShaDocs.join(
-      newShaDocs.groupBy("content_sha256").agg(min("doc_id").as("doc_id")),
-      Seq("content_sha256", "doc_id"))
-    val newSfxPairs = suffixIncrement(spark, stateDir, repsNew, done, id, cfg)
+    val newSfxPairs = suffixIncrement(spark, stateDir, repsNew, done, id, nNew, cfg)
 
     val bandsAll = readState(spark, stateDir, "bands", done, alsoBatch = id).get
       .select("band", "band_hash", "doc_id")
     val sigsAll = readState(spark, stateDir, "signatures", done, alsoBatch = id).get
       .select("doc_id", "minhash", "simhash")
-    val shaAll = readState(spark, stateDir, "docs", done, alsoBatch = id).get
-      .select("doc_id", "content_sha256")
 
-    // Probe-side prune: only accumulated rows whose key occurs in THIS
-    // batch can join — broadcast semi-join keeps the O(corpus) band state
-    // out of the exchange entirely (scan+filter, ∝ batch shuffle).
+    // Probe-side prune + running stop-band cap (see scaladoc). nBandKeys
+    // bounds the distinct-key row count of every pruned side.
+    val nBandKeys = nNew * (cfg.bands + cfg.simhashBlocks)
     val newKeys = bandsNewD.select("band", "band_hash").distinct()
-    // Stop-bands from RUNNING counts, scoped to this batch's keys (the
-    // count state is also O(corpus keys); only keys being probed matter).
-    val hotKeys = readState(spark, stateDir, "band_counts", done, alsoBatch = id).get
-      .join(broadcast(newKeys), Seq("band", "band_hash"), "left_semi")
+    val hotKeys = semiPrune(
+        readState(spark, stateDir, "band_counts", done, alsoBatch = id).get,
+        newKeys, Seq("band", "band_hash"), nBandKeys)
       .groupBy("band", "band_hash").agg(sum("cnt").as("total"))
       .where(col("total") > cfg.stopBandSize)
       .select("band", "band_hash")
-    val bandsNewKept = bandsNewD.select("band", "band_hash", "doc_id")
-      .join(broadcast(hotKeys), Seq("band", "band_hash"), "left_anti")
-    val bandsProbe = bandsAll
-      .join(broadcast(newKeys), Seq("band", "band_hash"), "left_semi")
-      .join(broadcast(hotKeys), Seq("band", "band_hash"), "left_anti")
+    val bandsNewKept = antiPrune(bandsNewD.select("band", "band_hash", "doc_id"),
+      hotKeys, Seq("band", "band_hash"), nBandKeys)
+    val bandsProbe = antiPrune(
+      semiPrune(bandsAll, newKeys, Seq("band", "band_hash"), nBandKeys),
+      hotKeys, Seq("band", "band_hash"), nBandKeys)
 
-    // LSH candidates touching a new doc: equi-join new bands × pruned bands.
-    val lshCands = bandsNewKept.select(col("band"), col("band_hash"), col("doc_id").as("n"))
+    // LSH candidates touching a new rep, WITH band provenance (the
+    // read-time retroactive cap needs to know which bands emitted a pair).
+    // Persisted: it feeds the verify join, the endpoint prune, and the
+    // provenance write.
+    val prov = bandsNewKept.select(col("band"), col("band_hash"), col("doc_id").as("n"))
       .join(bandsProbe.select(col("band"), col("band_hash"), col("doc_id").as("m")),
         Seq("band", "band_hash"))
       .where(col("n") =!= col("m"))
       .select(least(col("n"), col("m")).as("a"), greatest(col("n"), col("m")).as("b"),
-        when(col("band") < cfg.bands, "minhash").otherwise("simhash").as("src"))
-      .transform(graft.lsh.CandidatePairs.strongest)
-
-    // exact dups touching a new doc
-    val exactCands = t1New.select(col("content_sha256"), col("doc_id").as("n"))
-      .join(shaAll.select(col("content_sha256"), col("doc_id").as("m")), "content_sha256")
-      .where(col("n") =!= col("m"))
-      .select(least(col("n"), col("m")).as("a"), greatest(col("n"), col("m")).as("b"),
-        lit("exact").as("src"))
+        col("band"), col("band_hash"))
       .distinct()
+      .persist()
+    val nProv = prov.count()
 
-    val verified = graft.lsh.CandidatePairs.strongestWithEst(
-      graft.verify.Verifier.verifyLshPairs(lshCands, sigsAll, cfg)
-        .unionByName(exactCands.withColumn("est_jaccard", lit(1.0d))
-          .select("a", "b", "est_jaccard", "src")))
+    val lshCands = graft.lsh.CandidatePairs.strongest(
+      prov.select(col("a"), col("b"),
+        when(col("band") < cfg.bands, "minhash").otherwise("simhash").as("src")))
 
-    // pairs: merge-rewrite through <name>_next + atomic swap; the groupBy
-    // dedup makes a replayed merge a no-op, so a crash anywhere before the
-    // commit marker is safe to re-run.
-    val pairsAll =
-      if (cat.exists(spark, "pairs"))
-        graft.lsh.CandidatePairs.strongestWithEst(
-          cat.read(spark, "pairs").unionByName(verified))
-      else verified
-    val newPairCount = verified.count()
+    // verify against endpoint-pruned signatures: candidates touch ≤ 2·|prov|
+    // docs, so the O(corpus) signature state stays out of the verify joins
+    val ends = prov.select(col("a").as("doc_id"))
+      .unionByName(prov.select(col("b").as("doc_id"))).distinct()
+    val sigsCand = semiPrune(sigsAll, ends, Seq("doc_id"), 2 * nProv)
+    val verifiedLsh = graft.verify.Verifier.verifyLshPairs(lshCands, sigsCand, cfg)
 
-    cat.write(pairsAll, "pairs_next")
-    swapIn(spark, stateDir, "pairs")
+    prov.join(verifiedLsh.select("a", "b", "est_jaccard", "src"), Seq("a", "b"))
+      .write.mode("overwrite").parquet(s"$stateDir/lsh_pairs/batch=$id")
+    prov.unpersist(blocking = false)
+
+    // exact-dup edges: within-batch star + one cross-batch glue per sha
+    val newMin = t1New.groupBy("content_sha256").agg(min("doc_id").as("nm"))
+    val withinBatch = t1New.select(col("content_sha256"), col("doc_id"))
+      .join(newMin, "content_sha256")
+      .where(col("doc_id") =!= col("nm"))
+      .select(col("nm").as("a"), col("doc_id").as("b"))
+    val glue = docsOld match {
+      case Some(old) =>
+        val prevReps = semiPrune(old, newMin.select("content_sha256"),
+            Seq("content_sha256"), nNew)
+          .groupBy("content_sha256").agg(min("doc_id").as("pr"))
+        newMin.join(prevReps, "content_sha256")
+          .select(least(col("nm"), col("pr")).as("a"), greatest(col("nm"), col("pr")).as("b"))
+      case None => withinBatch.limit(0)
+    }
+    withinBatch.unionByName(glue)
+      .write.mode("overwrite").parquet(s"$stateDir/exact_pairs/batch=$id")
+
+    val newPairCount =
+      spark.read.parquet(s"$stateDir/lsh_pairs/batch=$id").select("a", "b")
+        .unionByName(spark.read.parquet(s"$stateDir/exact_pairs/batch=$id"))
+        .distinct().count()
+
     commit(spark, stateDir, id)
     val totalDocs = readState(spark, stateDir, "docs", done, alsoBatch = id)
       .map(_.count()).getOrElse(0L)
@@ -240,15 +303,16 @@ object IncrementalDedup {
   /** Incremental suffix/containment pass (scaladoc above): tokenize the new
     * sha-rep docs, append their token streams / minLen-gram index /
     * per-gram counts as batch partitions, generate candidates new×all over
-    * grams under the RUNNING df-cap (broadcast-pruned probe side, like the
-    * band join), verify with the per-pair suffix-array kernel, and append
-    * the verified pairs WITH anchor-gram provenance — the read side
-    * ([[edges]]) applies the final retroactive cap.
+    * grams under the RUNNING df-cap (pruned probe side, like the band
+    * join), verify with the per-pair suffix-array kernel, and append the
+    * verified pairs WITH anchor-gram provenance — the read side ([[edges]])
+    * applies the final retroactive cap.
     *
     * @return number of verified suffix pair rows appended for this batch
     */
   private def suffixIncrement(spark: SparkSession, stateDir: String,
-      repsNew: DataFrame, done: Seq[Long], id: Long, cfg: DedupConfig): Long = {
+      repsNew: DataFrame, done: Seq[Long], id: Long, nNew: Long,
+      cfg: DedupConfig): Long = {
     import spark.implicits._
     val minLen = cfg.suffixMinLen
 
@@ -268,17 +332,23 @@ object IncrementalDedup {
     gramsNewD.groupBy("fp").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$stateDir/gram_counts/batch=$id")
 
-    // probe-side prune + running df-cap, same shape as the band join
+    // probe-side prune + running df-cap, same shape as the band join. The
+    // gram-key volume bound is metadata-exact (row count of the just-written
+    // partition): gram fingerprints scale with TOKENS, not docs, so a doc
+    // bound would be wildly wrong here.
+    val nGramRows = spark.read.parquet(s"$stateDir/grams/batch=$id").count()
     val newFps = gramsNewD.select("fp").distinct()
-    val hotFps = readState(spark, stateDir, "gram_counts", done, alsoBatch = id).get
-      .join(broadcast(newFps), Seq("fp"), "left_semi")
+    val hotFps = semiPrune(
+        readState(spark, stateDir, "gram_counts", done, alsoBatch = id).get,
+        newFps, Seq("fp"), nGramRows)
       .groupBy("fp").agg(sum("cnt").as("total"))
       .where(col("total") > cfg.suffixDfMax)
       .select("fp")
-    val gramsNewKept = gramsNewD.join(broadcast(hotFps), Seq("fp"), "left_anti")
-    val gramsProbe = readState(spark, stateDir, "grams", done, alsoBatch = id).get
-      .join(broadcast(newFps), Seq("fp"), "left_semi")
-      .join(broadcast(hotFps), Seq("fp"), "left_anti")
+    val gramsNewKept = antiPrune(gramsNewD, hotFps, Seq("fp"), nGramRows)
+    val gramsProbe = antiPrune(
+      semiPrune(readState(spark, stateDir, "grams", done, alsoBatch = id).get,
+        newFps, Seq("fp"), nGramRows),
+      hotFps, Seq("fp"), nGramRows)
 
     // candidate pairs WITH anchor-gram provenance (read-time cap needs it)
     val prov = gramsNewKept.select(col("fp"), col("doc_id").as("n"))
@@ -310,15 +380,28 @@ object IncrementalDedup {
       .select("a", "b").distinct().count()
   }
 
-  /** The composed live edge set: the merged LSH/exact pairs table plus the
-    * suffix pairs whose anchor gram is still under the FINAL df-cap
-    * (retroactive boilerplate defense — see the class scaladoc).
+  /** Verified LSH pairs still live under the FINAL stop-band cap: a pair
+    * survives iff ≥1 of its emitting (band, band_hash) keys has accumulated
+    * count ≤ stopBandSize (retroactive batch semantics — see scaladoc).
     */
-  def edges(spark: SparkSession, stateDir: String,
+  def liveLshPairs(spark: SparkSession, stateDir: String,
       cfg: DedupConfig = DedupConfig.default): DataFrame = {
-    recoverSwap(spark, stateDir, "pairs")
-    val cat = new ParquetCatalog(stateDir)
-    val base = cat.read(spark, "pairs").select("a", "b")
+    val committed = committedIds(spark, stateDir)
+    (readState(spark, stateDir, "lsh_pairs", committed),
+      readState(spark, stateDir, "band_counts", committed)) match {
+      case (Some(lsh), Some(counts)) =>
+        val hot = counts.groupBy("band", "band_hash").agg(sum("cnt").as("total"))
+          .where(col("total") > cfg.stopBandSize)
+          .select("band", "band_hash")
+        lsh.join(hot, Seq("band", "band_hash"), "left_anti")
+          .select("a", "b").distinct()
+      case _ => emptyPairs(spark)
+    }
+  }
+
+  /** Verified suffix pairs still live under the FINAL gram df-cap. */
+  def liveSuffixPairs(spark: SparkSession, stateDir: String,
+      cfg: DedupConfig = DedupConfig.default): DataFrame = {
     val committed = committedIds(spark, stateDir)
     (readState(spark, stateDir, "sfx_pairs", committed),
       readState(spark, stateDir, "gram_counts", committed)) match {
@@ -326,35 +409,33 @@ object IncrementalDedup {
         val hot = counts.groupBy("fp").agg(sum("cnt").as("total"))
           .where(col("total") > cfg.suffixDfMax)
           .select("fp")
-        base.unionByName(
-          sfx.join(hot, Seq("fp"), "left_anti").select("a", "b").distinct())
-      case _ => base
+        sfx.join(hot, Seq("fp"), "left_anti").select("a", "b").distinct()
+      case _ => emptyPairs(spark)
     }
   }
 
-  private def swapIn(spark: SparkSession, stateDir: String, name: String): Unit = {
-    val f = fs(spark, stateDir)
-    val cur = new Path(stateDir, name)
-    val next = new Path(stateDir, s"${name}_next")
-    if (f.exists(cur)) f.delete(cur, true)
-    f.rename(next, cur)
+  /** Accumulated exact-duplicate edges (within-batch stars + glue edges). */
+  def exactEdges(spark: SparkSession, stateDir: String): DataFrame =
+    readState(spark, stateDir, "exact_pairs", committedIds(spark, stateDir))
+      .map(_.select("a", "b")).getOrElse(emptyPairs(spark))
+
+  private def emptyPairs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("a", "b")
   }
 
-  /** delete+rename is not atomic: a crash between swapIn's delete and
-    * rename leaves only `<name>_next` — which at that point IS the full
-    * merged table. Finish the rename before any reader sees a missing
-    * table; the old behavior silently rebuilt the edge table from a single
-    * batch's pairs, dropping all previously accumulated edges.
+  /** The composed live edge set: retroactively-capped LSH pairs ∪ exact
+    * edges ∪ retroactively-capped suffix pairs (committed batches only).
     */
-  private def recoverSwap(spark: SparkSession, stateDir: String, name: String): Unit = {
-    val f = fs(spark, stateDir)
-    val cur = new Path(stateDir, name)
-    val next = new Path(stateDir, s"${name}_next")
-    if (!f.exists(cur) && f.exists(next)) f.rename(next, cur)
-  }
+  def edges(spark: SparkSession, stateDir: String,
+      cfg: DedupConfig = DedupConfig.default): DataFrame =
+    liveLshPairs(spark, stateDir, cfg)
+      .unionByName(exactEdges(spark, stateDir))
+      .unionByName(liveSuffixPairs(spark, stateDir, cfg))
+      .distinct()
 
   /** Final clusters over the accumulated live edge set (committed state
-    * only; LSH/exact pairs ∪ retroactively-capped suffix pairs).
+    * only).
     */
   def clusters(spark: SparkSession, stateDir: String,
       cfg: DedupConfig = DedupConfig.default): DataFrame = {

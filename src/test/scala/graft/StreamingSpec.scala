@@ -9,9 +9,10 @@ import graft.streaming.IncrementalDedup
 import graft.testutil.FixtureGen
 
 /** Incremental mode must converge to the batch pipeline's answer: feeding
-  * the corpus in K batches yields the same verified LSH+exact pair set and
-  * the same clusters as one batch run (suffix pass excluded — it is
-  * documented as periodic-full-only).
+  * the corpus in K batches yields the same near-dup edge set (compared in
+  * content space — both engines are rep-only but pick reps differently) and
+  * the same clusters as one batch run, INCLUDING the retroactive stop-band
+  * and gram df-cap semantics for caps crossed mid-stream.
   */
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -44,12 +45,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
 
     // replaying a committed batch id is a no-op (exactly-once marker)
-    val before = new io.ParquetCatalog(stateDir).read(spark, "pairs").count()
+    val before = IncrementalDedup.edges(spark, stateDir, cfg).count()
     val replay = IncrementalDedup.processBatch(spark,
       spark.createDataFrame(parts.head).select("repo", "path", "commit", "lang", "content"),
       stateDir, cfg, batchId = 0L)
     assert(replay.newPairs === 0L)
-    assert(new io.ParquetCatalog(stateDir).read(spark, "pairs").count() === before)
+    assert(IncrementalDedup.edges(spark, stateDir, cfg).count() === before)
 
     // re-ingesting known docs under a FRESH batch id is also a no-op for
     // state rows (anti-join on doc_id): no duplicate bands/docs appear
@@ -63,19 +64,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       spark.createDataFrame(corpus).select("repo", "path", "commit", "lang", "content"))
     val batch = DedupPipeline.run(spark, t1, cfg, withSuffixPass = true)
 
-    // The batch pipeline runs LSH over sha-distinct reps only; incremental
-    // mode bands every doc, so its LSH/exact edge set is a superset
-    // (member-level pairs are implied by exact edges). Suffix pairs are
-    // rep-level on BOTH sides but the two pick reps differently (global min
-    // doc_id vs first arrival), so suffix coverage is asserted through the
-    // exact cluster equality below — including the retroactive df-cap
-    // (boilerplate grams whose carriers arrived spread over batches).
-    val incPairs = IncrementalDedup.edges(spark, stateDir, cfg)
-      .select("a", "b").as[(Long, Long)].collect().toSet
-    val batchPairs = batch.verifiedPairs.where($"src" =!= "suffix")
-      .select("a", "b").as[(Long, Long)].collect().toSet
-    assert((batchPairs -- incPairs).isEmpty,
-      s"incremental missing pairs: ${(batchPairs -- incPairs).take(5)}")
+    // Both engines run LSH/suffix over sha-distinct reps, but pick reps
+    // differently (global min doc_id vs first arrival), so the near-dup
+    // edge sets are compared in CONTENT space: map endpoints to their sha
+    // and assert set EQUALITY — signatures, band counts, verify and df-cap
+    // decisions are all functions of content, so the rep choice is the only
+    // legitimate difference. (Collapse asymmetry makes per-source sets
+    // incomparable: a containment pair that also LSH-collides is
+    // src='suffix' in the batch union but lives in the incremental lsh_pairs
+    // table too — hence the union comparison.)
+    val shaOf = t1.select($"doc_id", $"content_sha256").as[(Long, String)]
+      .collect().toMap
+    def shaPairs(ps: Set[(Long, Long)]): Set[(String, String)] =
+      ps.map { case (a, b) =>
+        val (x, y) = (shaOf(a), shaOf(b))
+        if (x <= y) (x, y) else (y, x)
+      }
+    val incNearDup = shaPairs(
+      IncrementalDedup.liveLshPairs(spark, stateDir, cfg)
+        .unionByName(IncrementalDedup.liveSuffixPairs(spark, stateDir, cfg))
+        .as[(Long, Long)].collect().toSet)
+    val batchNearDup = shaPairs(batch.verifiedPairs.where($"src" =!= "exact")
+      .select("a", "b").as[(Long, Long)].collect().toSet)
+    assert(incNearDup === batchNearDup,
+      s"near-dup edge sets differ: inc-only=${(incNearDup -- batchNearDup).size} " +
+        s"batch-only=${(batchNearDup -- incNearDup).size}")
 
     val incClusters = IncrementalDedup.clusters(spark, stateDir, cfg)
       .as[(Long, Long)].collect().toMap
@@ -152,28 +165,58 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(docs1 === parts(1).size.toLong, "batch-1 partition was wiped by the replay")
   }
 
-  test("crash mid pairs-swap (after delete, before rename) is recovered, not wiped") {
-    val stateDir = Files.createTempDirectory("graft-stream-swap").toString
-    val parts = corpus.grouped(corpus.size / 2 + 1).toSeq
-    def df(chunk: Seq[graft.model.CorpusRow]) =
-      spark.createDataFrame(chunk).select("repo", "path", "commit", "lang", "content")
-    IncrementalDedup.processBatch(spark, df(parts.head), stateDir, cfg, batchId = 0L)
-    IncrementalDedup.processBatch(spark, df(parts(1)), stateDir, cfg, batchId = 1L)
-    val expect = IncrementalDedup.clusters(spark, stateDir).as[(Long, Long)].collect().toMap
-    val pairsBefore = new io.ParquetCatalog(stateDir).read(spark, "pairs").count()
+  test("stop-band crossing mid-stream is retroactive: emitted pairs die, clusters == batch") {
+    // Periodic docs: P repeated m times (m >= 2) all share the SAME distinct
+    // shingle set (every k-window of P^m is a cyclic window of P), hence
+    // bitwise-identical MinHash/SimHash signatures and identical band keys —
+    // while being DISTINCT contents (distinct shas → each its own rep). So a
+    // 12-member clique splits 6/6 across two batches: every clique bucket
+    // counts 6 (under cap 9) at batch A — 15 pairs emitted and verified
+    // (est_jaccard = 1) — then counts 12 (over cap) once batch B lands. The
+    // batch pipeline stop-bands every clique bucket, so those 15 emitted
+    // pairs must be RETROACTIVELY dead in the incremental live set. The
+    // clique still clusters together on BOTH sides via the suffix pass
+    // (P^2 = 60 tokens is a shared substring ≥ suffixMinLen), which keeps
+    // the end-state comparison honest rather than trivially disconnected.
+    val period = (0 until 30).map(i => s"per$i").mkString(" ")
+    def cliqueDoc(m: Int) = graft.model.CorpusRow("r", s"q/$m", "c", "en",
+      Seq.fill(m)(period).mkString(" "))
+    // control: a cross-batch near-dup pair whose buckets stay tiny → alive
+    val ctl = (0 until 150).map(i => s"w$i").mkString(" ")
+    def ctlDoc(i: Int) = graft.model.CorpusRow("r", s"ctl/$i", "c", "en", s"$ctl z$i")
+    val scfg = cfg.copy(stopBandSize = 9)
+    val batchA = (2 until 8).map(cliqueDoc) :+ ctlDoc(0)
+    val batchB = (8 until 14).map(cliqueDoc) :+ ctlDoc(1)
 
-    // simulate the non-atomic swap's crash window: `pairs` deleted, rename
-    // to come — i.e. the merged table exists only as pairs_next
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(stateDir, "pairs"),
-      new org.apache.hadoop.fs.Path(stateDir, "pairs_next")))
+    val stateDir = Files.createTempDirectory("graft-stream-retro").toString
+    def df(rows: Seq[graft.model.CorpusRow]) =
+      spark.createDataFrame(rows).select("repo", "path", "commit", "lang", "content")
+    val rA = IncrementalDedup.processBatch(spark, df(batchA), stateDir, scfg)
+    assert(rA.newPairs >= 15, s"batch A should emit the 6-clique's pairs, got ${rA.newPairs}")
+    IncrementalDedup.processBatch(spark, df(batchB), stateDir, scfg)
 
-    // any reader/replay entry point must finish the rename first; the old
-    // behavior silently rebuilt the edge table from one batch's pairs
-    val got = IncrementalDedup.clusters(spark, stateDir).as[(Long, Long)].collect().toMap
-    assert(got === expect, "recovered clusters differ from pre-crash clusters")
-    assert(new io.ParquetCatalog(stateDir).read(spark, "pairs").count() === pairsBefore)
+    val ids = ingest.Ingest.ingest(df(batchA ++ batchB))
+      .select($"path", $"doc_id").as[(String, Long)].collect().toMap
+    val cliqueIds = (2 until 14).map(m => ids(s"q/$m")).toSet
+    val raw = spark.read.parquet(s"$stateDir/lsh_pairs")
+      .select("a", "b").distinct().as[(Long, Long)].collect().toSet
+    assert(raw.count(p => cliqueIds(p._1) && cliqueIds(p._2)) === 15,
+      "scenario broken: batch A's clique pairs were not emitted")
+    val live = IncrementalDedup.liveLshPairs(spark, stateDir, scfg)
+      .as[(Long, Long)].collect().toSet
+    assert(!live.exists(p => cliqueIds(p._1) && cliqueIds(p._2)),
+      "clique pairs must be retroactively dead once every emitting band crossed the cap")
+    val ctlPair = (math.min(ids("ctl/0"), ids("ctl/1")), math.max(ids("ctl/0"), ids("ctl/1")))
+    assert(IncrementalDedup.edges(spark, stateDir, scfg).as[(Long, Long)].collect().toSet
+      .contains(ctlPair), "under-cap control pair must survive")
+
+    // and the batch pipeline agrees end-to-end on this corpus
+    val batchClusters = DedupPipeline.run(spark,
+        ingest.Ingest.ingest(df(batchA ++ batchB)), scfg)
+      .clusters.as[(Long, Long)].collect().toMap
+    val incClusters = IncrementalDedup.clusters(spark, stateDir, scfg)
+      .as[(Long, Long)].collect().toMap
+    assert(incClusters === batchClusters)
   }
 
   test("running stop-band counts suppress hot buckets; bookkeeping matches a recount") {
