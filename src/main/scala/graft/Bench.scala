@@ -28,7 +28,13 @@ object Bench {
     *  - "clique": every replica is a near-dup of the base → `mult`-cliques,
     *    quadratic pair mass. Adversarial stress test for pair generation.
     */
-  def benchT1(spark: SparkSession, sfDir: String, mult: Int, dupMode: String = "mixed"): DataFrame = {
+  def benchT1(spark: SparkSession, sfDir: String, mult: Int, dupMode: String = "mixed"): DataFrame =
+    ingest.Ingest.ingest(benchCorpus(spark, sfDir, mult, dupMode))
+
+  /** The raw (pre-ingest) corpus of [[benchT1]] — reused by the incremental
+    * profiler, which feeds corpus-shaped batches through processBatch.
+    */
+  def benchCorpus(spark: SparkSession, sfDir: String, mult: Int, dupMode: String = "mixed"): DataFrame = {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val corpus =
       if (mult <= 1) {
@@ -55,7 +61,7 @@ object Bench {
           lit("v0").as("commit"), col("lang"),
           content.as("content"))
       }
-    ingest.Ingest.ingest(corpus)
+    corpus
   }
 
   def main(args: Array[String]): Unit = {

@@ -37,6 +37,13 @@ final case class BandRow(doc_id: Long, band: Int, band_hash: Long)
   */
 final case class Pair(a: Long, b: Long, src: String)
 
+/** Candidate pair with its emitting bucket key — the provenance that lets a
+  * read-time filter apply the stop-band rule retroactively (streaming
+  * emission cannot be taken back; see StreamingLsh.retroLive /
+  * IncrementalDedup.liveLshPairs).
+  */
+final case class ProvPair(a: Long, b: Long, src: String, band: Int, band_hash: Long)
+
 /** Suffix-pass tokens: ordered (non-distinct) token hashes per doc. */
 final case class TokenDoc(doc_id: Long, tokens: Array[Long])
 

@@ -113,15 +113,47 @@ object IncrementalDedup {
     f.create(new Path(s"$stateDir/_commits/batch-$id"), true).close()
   }
 
-  private def committedIds(spark: SparkSession, stateDir: String): Seq[Long] = {
+  /** Compaction base marker: `base-<gen>-<upto>` declares that partition
+    * `batch=-<gen>` of every state table holds the union of all regular
+    * batches ≤ upto (see [[compactState]]).
+    */
+  private case class BaseInfo(gen: Long, upto: Long)
+
+  private def commitMarkers(spark: SparkSession, stateDir: String): Seq[String] = {
     val p = new Path(s"$stateDir/_commits")
     val f = fs(spark, stateDir)
     if (!f.exists(p)) Nil
-    else f.listStatus(p).map(_.getPath.getName.stripPrefix("batch-").toLong).toSeq
+    else f.listStatus(p).map(_.getPath.getName).toSeq
   }
 
-  private def nextBatchId(spark: SparkSession, stateDir: String): Long =
-    committedIds(spark, stateDir).foldLeft(-1L)(math.max) + 1L
+  private def baseInfo(markers: Seq[String]): Option[BaseInfo] =
+    markers.collect { case s if s.startsWith("base-") =>
+      val parts = s.stripPrefix("base-").split("-")
+      BaseInfo(parts(0).toLong, parts(1).toLong)
+    }.sortBy(_.gen).lastOption
+
+  private def regularIds(markers: Seq[String]): Seq[Long] =
+    markers.collect { case s if s.startsWith("batch-") =>
+      s.stripPrefix("batch-").toLong
+    }
+
+  /** Live committed partition ids: the newest base (as `-gen`) plus every
+    * regular batch it does not supersede. Regular ids are engine batch ids
+    * (≥ 0), so the negative base id can never collide with a replay.
+    */
+  private def committedIds(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val markers = commitMarkers(spark, stateDir)
+    baseInfo(markers) match {
+      case Some(b) => (-b.gen) +: regularIds(markers).filter(_ > b.upto)
+      case None => regularIds(markers)
+    }
+  }
+
+  private def nextBatchId(spark: SparkSession, stateDir: String): Long = {
+    val markers = commitMarkers(spark, stateDir)
+    (regularIds(markers) ++ baseInfo(markers).map(_.upto))
+      .foldLeft(-1L)(math.max) + 1L
+  }
 
   /** Read an append-only state table restricted to COMMITTED batch
     * partitions (plus optionally the current batch's own, just-written
@@ -378,6 +410,86 @@ object IncrementalDedup {
       .write.mode("overwrite").parquet(s"$stateDir/sfx_pairs/batch=$id")
     spark.read.parquet(s"$stateDir/sfx_pairs/batch=$id")
       .select("a", "b").distinct().count()
+  }
+
+  private val StateTables = Seq("docs", "signatures", "bands", "band_counts",
+    "toks", "grams", "gram_counts", "lsh_pairs", "exact_pairs", "sfx_pairs")
+
+  /** Compact the committed state into one generational base partition per
+    * table, bounding partition/file count over a long stream (thousands of
+    * micro-batches otherwise mean thousands of tiny partitions per table —
+    * the per-batch O(corpus) state read pays their listing + open overhead
+    * every batch). Semantics-preserving by construction: every table is the
+    * plain union of the partitions it replaces, except the count tables,
+    * which re-aggregate to one row per key (sum is associative — the
+    * retroactive cap filters see identical totals).
+    *
+    * Crash-safe without any rewrite-in-place: the union is written to a
+    * FRESH dir `batch=-<gen>` (never overwriting live state), then a single
+    * atomic marker create (`_commits/base-<gen>-<upto>`) flips readers over;
+    * superseded partitions and markers are deleted lazily AFTER the marker
+    * is durable. A crash before the marker leaves an orphan dir that the
+    * next compaction overwrites; a crash mid-cleanup leaves garbage that
+    * readers already ignore and the next compaction's cleanup removes. A
+    * streaming replay of a superseded id re-runs against the compacted
+    * state, finds no fresh docs (the re-ingest anti-join), writes an empty
+    * partition below `upto` that [[committedIds]] filters out — harmless.
+    *
+    * Run between batches (same single-writer discipline as processBatch);
+    * a typical cadence is every N micro-batches or on a size trigger.
+    */
+  def compactState(spark: SparkSession, stateDir: String): Unit =
+    compactStateImpl(spark, stateDir, failBeforeMarker = false)
+
+  private[graft] def compactStateImpl(spark: SparkSession, stateDir: String,
+      failBeforeMarker: Boolean): Unit = {
+    val markers = commitMarkers(spark, stateDir)
+    val base = baseInfo(markers)
+    val regs = regularIds(markers).filter(id => base.forall(id > _.upto))
+    if (regs.size + base.size <= 1) return // nothing to merge
+    val ids = committedIds(spark, stateDir)
+    val gen = base.map(_.gen).getOrElse(0L) + 1L
+    val upto = regs.max
+
+    // stage the unions OUTSIDE the table roots (Spark refuses to overwrite
+    // a path it is reading), then rename each into place — rename is cheap
+    // (same fs) and the target dirs are fresh, so nothing live is touched
+    // before the marker flip
+    val f = fs(spark, stateDir)
+    val tmpRoot = s"$stateDir/_compact_tmp"
+    f.delete(new Path(tmpRoot), true)
+    StateTables.foreach { t =>
+      readState(spark, stateDir, t, ids).foreach { df =>
+        val merged = t match {
+          case "band_counts" =>
+            df.groupBy("band", "band_hash").agg(sum("cnt").as("cnt"))
+          case "gram_counts" =>
+            df.groupBy("fp").agg(sum("cnt").as("cnt"))
+          case _ => df.drop("batch") // partition-discovery column
+        }
+        merged.write.mode("overwrite").parquet(s"$tmpRoot/$t")
+      }
+    }
+    if (failBeforeMarker) return
+    StateTables.foreach { t =>
+      val staged = new Path(s"$tmpRoot/$t")
+      if (f.exists(staged)) {
+        val target = new Path(s"$stateDir/$t/batch=-$gen")
+        f.delete(target, true) // orphan from a crashed earlier attempt
+        f.rename(staged, target)
+      }
+    }
+    f.create(new Path(s"$stateDir/_commits/base-$gen-$upto"), true).close()
+    f.delete(new Path(tmpRoot), true)
+
+    // lazy cleanup of superseded partitions + markers (idempotent)
+    StateTables.foreach { t =>
+      regs.foreach(id => f.delete(new Path(s"$stateDir/$t/batch=$id"), true))
+      base.foreach(b => f.delete(new Path(s"$stateDir/$t/batch=-${b.gen}"), true))
+    }
+    regs.foreach(id => f.delete(new Path(s"$stateDir/_commits/batch-$id"), false))
+    base.foreach(b => f.delete(new Path(s"$stateDir/_commits/base-${b.gen}-${b.upto}"), false))
+    ()
   }
 
   /** Verified LSH pairs still live under the FINAL stop-band cap: a pair

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.DedupPipeline
 import graft.conf.DedupConfig
-import graft.model.{BandRow, BucketState, Pair}
+import graft.model.{BandRow, BucketState, ProvPair}
 
 /** Full streaming LSH with per-bucket state (SURVEY.md §2.8 row 44 — the
   * `flatMapGroupsWithState` path that round 1 documented but did not build).
@@ -23,9 +23,11 @@ import graft.model.{BandRow, BucketState, Pair}
   *  - per-bucket state is an Array[Long] of doc ids, bounded by
   *    `cfg.stopBandSize`: a bucket that crosses the cap flips to `stopped`,
   *    DROPS its member array (state shrinks to a tombstone) and never emits
-  *    again — the streaming analogue of batch stop-bands. Batch semantics
-  *    differ only there: the batch pass drops a stop-band retroactively,
-  *    the stream cannot un-emit (documented deviation).
+  *    again — the streaming analogue of batch stop-bands. The stream cannot
+  *    un-emit, so every pair is emitted WITH its bucket key ([[ProvPair]]):
+  *    applying [[retroLive]] over the materialized output against the FINAL
+  *    band state reproduces the batch pass's retroactive drop exactly
+  *    (same provenance design as IncrementalDedup's lsh_pairs table).
   *  - emitted pairs are NOT deduped across buckets in-stream (that would
   *    need a second stateful stage); downstream `dropDuplicates("a","b")`
   *    or the periodic full recluster does it, same as the batch union.
@@ -53,7 +55,7 @@ object StreamingLsh {
     * bucket, with the stop cap enforced on the stored membership.
     */
   def candidateStream(spark: SparkSession, corpusStream: DataFrame,
-      cfg: DedupConfig = DedupConfig.default): Dataset[Pair] = {
+      cfg: DedupConfig = DedupConfig.default): Dataset[ProvPair] = {
     import spark.implicits._
     val stopCap = cfg.stopBandSize
     val nMinhashBands = cfg.bands
@@ -83,11 +85,11 @@ object StreamingLsh {
                 val newXold = for {
                   n <- fresh.iterator
                   o <- seen.iterator
-                } yield Pair(math.min(n, o), math.max(n, o), src)
+                } yield ProvPair(math.min(n, o), math.max(n, o), src, key._1, key._2)
                 val newXnew = for {
                   x <- fresh.indices.iterator
                   y <- (x + 1 until fresh.length).iterator
-                } yield Pair(fresh(x), fresh(y), src)
+                } yield ProvPair(fresh(x), fresh(y), src, key._1, key._2)
                 newXold ++ newXnew
               }
             }
@@ -111,5 +113,22 @@ object StreamingLsh {
   def verifiedStream(spark: SparkSession, corpusStream: DataFrame,
       sigsStatic: DataFrame, cfg: DedupConfig = DedupConfig.default): DataFrame =
     graft.verify.Verifier.verifyLshPairs(
-      candidateStream(spark, corpusStream, cfg).toDF(), sigsStatic, cfg)
+      candidateStream(spark, corpusStream, cfg).toDF(), sigsStatic, cfg,
+      passthrough = Seq("band", "band_hash"))
+
+  /** The batch stop-band rule applied RETROACTIVELY over a materialized
+    * (candidate or verified) pair table carrying (band, band_hash)
+    * provenance: a pair stays iff ≥1 of its emitting buckets has final
+    * count ≤ stopBandSize in `bandRows` (the accumulated band state the
+    * batch pipeline would count). Run at recluster time — emission already
+    * enforced the running cap; this closes the gap for buckets that crossed
+    * it after emitting (the exact IncrementalDedup.liveLshPairs semantics).
+    */
+  def retroLive(pairsWithProv: DataFrame, bandRows: DataFrame, cfg: DedupConfig): DataFrame = {
+    val hot = bandRows.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > cfg.stopBandSize)
+      .select("band", "band_hash")
+    pairsWithProv.join(hot, Seq("band", "band_hash"), "left_anti")
+      .select("a", "b").distinct()
+  }
 }

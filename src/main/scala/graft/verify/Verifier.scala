@@ -36,7 +36,13 @@ import graft.conf.DedupConfig
   */
 object Verifier {
 
-  def verifyLshPairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+  /** @param passthrough extra `pairs` columns carried through verification
+    *        untouched (e.g. (band, band_hash) provenance in the streaming
+    *        path); the batch path passes none, keeping its shuffle rows slim
+    */
+  def verifyLshPairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    val keep = Seq("a", "b", "src") ++ passthrough
     val minEqualLanes = math.ceil(cfg.jaccardTau * cfg.numPerms).toInt
     val prefiltered =
       if (cfg.numPerms % 64 == 0) {
@@ -58,8 +64,8 @@ object Verifier {
           .join(slimB, "b")
           .where(parDiff <= lit(cfg.numPerms - minEqualLanes) ||
             bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= cfg.hammingMax)
-          .select("a", "b", "src")
-      } else pairs.select("a", "b", "src")
+          .select(keep.map(col): _*)
+      } else pairs.select(keep.map(col): _*)
 
     val sa = sigs.select(col("doc_id").as("a"), col("minhash").as("mh_a"), col("simhash").as("sh_a"))
     val sb = sigs.select(col("doc_id").as("b"), col("minhash").as("mh_b"), col("simhash").as("sh_b"))
@@ -71,7 +77,8 @@ object Verifier {
           / lit(cfg.numPerms.toDouble))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("est_jaccard") >= cfg.jaccardTau || col("hamming") <= cfg.hammingMax)
-      .select(col("a"), col("b"), col("est_jaccard"), col("src"))
+      .select(Seq(col("a"), col("b"), col("est_jaccard"), col("src")) ++
+        passthrough.map(col): _*)
   }
 
   /** Exact Jaccard on shingle arrays — test/calibration only (row 25). */

@@ -106,5 +106,25 @@ class StreamingLshSpec extends AnyFunSuite with SparkTestBase {
     val got = spark.table("stream_lsh_hot").select("a", "b")
       .as[(Long, Long)].collect().toSet
     assert(got.size === 8 * 7 / 2, s"expected C(8,2)=28 distinct pairs, got ${got.size}")
+
+    // retroLive closes the gap the stream itself cannot: those 28 pairs
+    // were emitted while every bucket was under the cap, but the FINAL
+    // band state (all 30 docs) puts every bucket over it — the batch
+    // pipeline would emit nothing, and the provenance filter agrees
+    val t1All = ingest.Ingest.ingest(
+      spark.createDataFrame(docs).select("repo", "path", "commit", "lang", "content"))
+    val bandsAll = lsh.Banding.bandRows(DedupPipeline.signatures(spark, t1All, tiny), tiny)
+    val liveAll = StreamingLsh.retroLive(spark.table("stream_lsh_hot"), bandsAll, tiny)
+      .as[(Long, Long)].collect().toSet
+    assert(liveAll.isEmpty,
+      s"pairs from buckets that crossed the cap must be retroactively dead: $liveAll")
+
+    // against the under-cap prefix state the same filter keeps everything
+    val t1Pre = ingest.Ingest.ingest(
+      spark.createDataFrame(docs.take(8)).select("repo", "path", "commit", "lang", "content"))
+    val bandsPre = lsh.Banding.bandRows(DedupPipeline.signatures(spark, t1Pre, tiny), tiny)
+    val livePre = StreamingLsh.retroLive(spark.table("stream_lsh_hot"), bandsPre, tiny)
+      .as[(Long, Long)].collect().toSet
+    assert(livePre === got, "under-cap buckets' pairs must all survive the filter")
   }
 }

@@ -219,6 +219,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(incClusters === batchClusters)
   }
 
+  test("state compaction preserves edges/clusters, bounds partitions, survives crash") {
+    val stateDir = Files.createTempDirectory("graft-stream-compact").toString
+    val parts = corpus.grouped((corpus.size + 3) / 4).toSeq // 4 batches
+    def df(chunk: Seq[graft.model.CorpusRow]) =
+      spark.createDataFrame(chunk).select("repo", "path", "commit", "lang", "content")
+    parts.take(3).foreach(chunk => IncrementalDedup.processBatch(spark, df(chunk), stateDir, cfg))
+    val edgesBefore = IncrementalDedup.edges(spark, stateDir, cfg)
+      .as[(Long, Long)].collect().toSet
+    val clustersBefore = IncrementalDedup.clusters(spark, stateDir, cfg)
+      .as[(Long, Long)].collect().toMap
+
+    // crash window: unions staged, marker never written → nothing visible
+    IncrementalDedup.compactStateImpl(spark, stateDir, failBeforeMarker = true)
+    assert(IncrementalDedup.edges(spark, stateDir, cfg)
+      .as[(Long, Long)].collect().toSet === edgesBefore,
+      "a crashed compaction must not change the visible state")
+
+    IncrementalDedup.compactState(spark, stateDir)
+    // the three batch partitions collapsed into the single gen-1 base
+    val hfs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partDirs(t: String) =
+      hfs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/$t"))
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq.sorted
+    Seq("docs", "bands", "band_counts", "lsh_pairs", "exact_pairs").foreach { t =>
+      assert(partDirs(t) === Seq("batch=-1"), s"$t not compacted: ${partDirs(t)}")
+    }
+    assert(IncrementalDedup.edges(spark, stateDir, cfg)
+      .as[(Long, Long)].collect().toSet === edgesBefore)
+    assert(IncrementalDedup.clusters(spark, stateDir, cfg)
+      .as[(Long, Long)].collect().toMap === clustersBefore)
+
+    // processing continues on the compacted base and still matches the
+    // batch pipeline on the full corpus; a second compaction (gen 2,
+    // merging base + batch 3) holds too
+    IncrementalDedup.processBatch(spark, df(parts(3)), stateDir, cfg)
+    val batchClusters = DedupPipeline.run(spark,
+        ingest.Ingest.ingest(df(corpus)), cfg)
+      .clusters.as[(Long, Long)].collect().toMap
+    assert(IncrementalDedup.clusters(spark, stateDir, cfg)
+      .as[(Long, Long)].collect().toMap === batchClusters)
+    IncrementalDedup.compactState(spark, stateDir)
+    assert(partDirs("docs") === Seq("batch=-2"))
+    assert(IncrementalDedup.clusters(spark, stateDir, cfg)
+      .as[(Long, Long)].collect().toMap === batchClusters)
+  }
+
   test("running stop-band counts suppress hot buckets; bookkeeping matches a recount") {
     def mk(i: Int) = graft.model.CorpusRow(s"r$i", s"p/$i", "c", "en",
       s"u$i " + (0 until 150).map(t => s"tok$t").mkString(" ")) // near-dups, no exact dups
