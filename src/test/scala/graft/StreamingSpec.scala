@@ -219,6 +219,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(incClusters === batchClusters)
   }
 
+  test("randomized batch splits converge to the batch answer (seeded property)") {
+    // the fixed 3-way split can mask split-sensitive bugs (first-carrier
+    // rep selection, cross-batch glue edges, running-cap timing); two
+    // seeded random partitions of a fresh fixture corpus must still land
+    // on the exact batch-pipeline clusters
+    val rc = FixtureGen.corpus(400, 17L)
+    val batchClusters = DedupPipeline.run(spark,
+        ingest.Ingest.ingest(
+          spark.createDataFrame(rc).select("repo", "path", "commit", "lang", "content")),
+        cfg)
+      .clusters.as[(Long, Long)].collect().toMap
+    Seq(7L, 23L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + rnd.nextInt(4) // 2..5 batches
+      val tagged = rc.map(r => (rnd.nextInt(k), r))
+      val stateDir = Files.createTempDirectory(s"graft-stream-rand$seed").toString
+      (0 until k).foreach { b =>
+        val chunk = tagged.collect { case (`b`, r) => r }
+        if (chunk.nonEmpty)
+          IncrementalDedup.processBatch(spark,
+            spark.createDataFrame(chunk).select("repo", "path", "commit", "lang", "content"),
+            stateDir, cfg)
+      }
+      val incClusters = IncrementalDedup.clusters(spark, stateDir, cfg)
+        .as[(Long, Long)].collect().toMap
+      assert(incClusters === batchClusters, s"seed=$seed k=$k")
+    }
+  }
+
   test("state compaction preserves edges/clusters, bounds partitions, survives crash") {
     val stateDir = Files.createTempDirectory("graft-stream-compact").toString
     val parts = corpus.grouped((corpus.size + 3) / 4).toSeq // 4 batches
