@@ -376,7 +376,8 @@ object SparkEntry {
     // query and gets stop-capped to zero at real n (Similarity scaladoc)
     "ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(s, d, tables = 8, multiProbe = true)),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
-    "emb_dup_clusters" -> ((s, d) => Similarity.embeddingDupClusters(s, d)),
+    "emb_dup_clusters" -> ((s, d) =>
+      Similarity.embeddingDupClusters(s, d).orderBy("vec_id")),
 
     // ---- multimodal binary-column plumbing (decode stubbed; rows-only) ----
     "mm_decode" -> ((s, d) =>
@@ -595,6 +596,29 @@ object SparkEntry {
       raw"SELECT doc_id, length(text)::BIGINT AS n_chars, round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)::DOUBLE, 4) AS alpha_ratio, round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE, 4) AS digit_ratio, round(length(regexp_replace(text, '[A-Za-z0-9_\s]', '', 'g')) / length(text)::DOUBLE, 4) AS punct_ratio, round(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','of','and','a','to','in','is','it','you','that','he','was','for','on','are','with','as','i','his','they'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio FROM documents ORDER BY doc_id",
     "emb_dims" ->
       "SELECT vec_id, len(embedding)::BIGINT AS dim FROM embeddings ORDER BY vec_id",
+    // Embedding-dup clustering twin: the ALL-PAIRS cos ≥ 0.9 rule + the same
+    // recursive min-label CC as the dedup-core oracles. The pipeline scopes
+    // pairs through the 8×8 sign-sketch buckets, so value equality rests on
+    // sketch recall = 1 over the threshold — measured margins make that
+    // exact here: the closest pair at sf0.01 sits at cos 0.513 (no pair
+    // within 0.387 of the threshold, vs ~3e-8 cross-engine float error), so
+    // both sides emit all-singletons; non-vacuous operator behavior (real
+    // clusters, salting invariance) is SimilaritySpec's planted coverage at
+    // threshold 0.5 — same de-vacuification precedent as exact_dup_groups.
+    "emb_dup_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.9
+        |), eedges AS (
+        |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+        |), ereach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT g.b, ereach.r FROM eedges g JOIN ereach ON ereach.id = g.a
+        |)
+        |SELECT id AS vec_id, min(r) AS cluster_id FROM ereach GROUP BY id ORDER BY vec_id
+        |""".stripMargin.replaceAll("\\s+", " "),
     "emb_profile" ->
       "SELECT vec_id, len(embedding)::BIGINT AS dim, CAST(floor(sqrt(list_inner_product(embedding, embedding)) * 10000 + 0.5) AS BIGINT) AS norm_e4 FROM embeddings ORDER BY vec_id",
     // exact-cosine ANN ground truth, float-free: ranks are stable across
