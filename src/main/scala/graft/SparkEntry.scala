@@ -376,8 +376,8 @@ object SparkEntry {
     // query and gets stop-capped to zero at real n (Similarity scaladoc)
     "ann_topk_lsh" -> ((s, d) => Similarity.lshTopK(s, d, tables = 8, multiProbe = true)),
     "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
-    "emb_dup_clusters" -> ((s, d) =>
-      Similarity.embeddingDupClusters(s, d).orderBy("vec_id")),
+    // embeddingDupClusters itself ends with orderBy(vec_id)
+    "emb_dup_clusters" -> ((s, d) => Similarity.embeddingDupClusters(s, d)),
 
     // ---- multimodal binary-column plumbing (decode stubbed; rows-only) ----
     "mm_decode" -> ((s, d) =>

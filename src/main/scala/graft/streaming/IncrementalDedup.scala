@@ -141,13 +141,14 @@ object IncrementalDedup {
     * regular batch it does not supersede. Regular ids are engine batch ids
     * (≥ 0), so the negative base id can never collide with a replay.
     */
-  private def committedIds(spark: SparkSession, stateDir: String): Seq[Long] = {
-    val markers = commitMarkers(spark, stateDir)
+  private def committedIds(spark: SparkSession, stateDir: String): Seq[Long] =
+    liveIds(commitMarkers(spark, stateDir))
+
+  private def liveIds(markers: Seq[String]): Seq[Long] =
     baseInfo(markers) match {
       case Some(b) => (-b.gen) +: regularIds(markers).filter(_ > b.upto)
       case None => regularIds(markers)
     }
-  }
 
   private def nextBatchId(spark: SparkSession, stateDir: String): Long = {
     val markers = commitMarkers(spark, stateDir)
@@ -185,7 +186,18 @@ object IncrementalDedup {
       batchId: Long = -1L): BatchResult = {
     val cat = new ParquetCatalog(stateDir)
     val id = if (batchId >= 0) batchId else nextBatchId(spark, stateDir)
-    val done = committedIds(spark, stateDir)
+    // a compacted-away id must fail LOUDLY: committing fresh docs under an
+    // id ≤ base.upto would write state that committedIds filters out
+    // forever (silent data loss). This only happens when a stream's
+    // checkpoint is recreated against an old compacted state dir — the
+    // operator must use a fresh state dir or auto-assigned ids.
+    val markers = commitMarkers(spark, stateDir)
+    baseInfo(markers).foreach { b =>
+      require(id > b.upto,
+        s"batch id $id is superseded by compaction (base upto=${b.upto}); " +
+          "a recreated stream checkpoint cannot reuse compacted-away ids")
+    }
+    val done = liveIds(markers)
     if (done.contains(id)) {
       // replayed batch: state already reflects it
       return BatchResult(0L,
@@ -251,7 +263,7 @@ object IncrementalDedup {
     bandsNewD.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$stateDir/band_counts/batch=$id")
 
-    val newSfxPairs = suffixIncrement(spark, stateDir, repsNew, done, id, nNew, cfg)
+    val newSfxPairs = suffixIncrement(spark, stateDir, repsNew, done, id, cfg)
 
     val bandsAll = readState(spark, stateDir, "bands", done, alsoBatch = id).get
       .select("band", "band_hash", "doc_id")
@@ -343,7 +355,7 @@ object IncrementalDedup {
     * @return number of verified suffix pair rows appended for this batch
     */
   private def suffixIncrement(spark: SparkSession, stateDir: String,
-      repsNew: DataFrame, done: Seq[Long], id: Long, nNew: Long,
+      repsNew: DataFrame, done: Seq[Long], id: Long,
       cfg: DedupConfig): Long = {
     import spark.implicits._
     val minLen = cfg.suffixMinLen
@@ -382,19 +394,26 @@ object IncrementalDedup {
         newFps, Seq("fp"), nGramRows),
       hotFps, Seq("fp"), nGramRows)
 
-    // candidate pairs WITH anchor-gram provenance (read-time cap needs it)
+    // candidate pairs WITH anchor-gram provenance (read-time cap needs it);
+    // persisted — it feeds the endpoint prune, the verify join and the
+    // provenance write, and its count bounds the broadcast decision
     val prov = gramsNewKept.select(col("fp"), col("doc_id").as("n"))
       .join(gramsProbe.select(col("fp"), col("doc_id").as("m")), Seq("fp"))
       .where(col("n") =!= col("m"))
       .select(least(col("n"), col("m")).as("a"), greatest(col("n"), col("m")).as("b"), col("fp"))
       .distinct()
+      .persist()
+    val nProv = prov.count()
 
-    // verify each distinct pair once; token streams attach broadcast-pruned
+    // verify each distinct pair once; token streams attach endpoint-pruned
+    // (guarded — a boilerplate-heavy batch can push the candidate endpoint
+    // set past any safe broadcast size)
     val candPairs = prov.select("a", "b").distinct()
     val ends = candPairs.select(col("a").as("doc_id"))
       .unionByName(candPairs.select(col("b").as("doc_id"))).distinct()
-    val toksCand = readState(spark, stateDir, "toks", done, alsoBatch = id).get
-      .join(broadcast(ends), Seq("doc_id"), "left_semi")
+    val toksCand = semiPrune(
+      readState(spark, stateDir, "toks", done, alsoBatch = id).get,
+      ends, Seq("doc_id"), 2 * nProv)
     val verifiedSfx = candPairs
       .join(toksCand.select(col("doc_id").as("a"), col("tokens").as("ta")), "a")
       .join(toksCand.select(col("doc_id").as("b"), col("tokens").as("tb")), "b")
@@ -408,6 +427,7 @@ object IncrementalDedup {
 
     prov.join(verifiedSfx, Seq("a", "b"), "left_semi")
       .write.mode("overwrite").parquet(s"$stateDir/sfx_pairs/batch=$id")
+    prov.unpersist(blocking = false)
     spark.read.parquet(s"$stateDir/sfx_pairs/batch=$id")
       .select("a", "b").distinct().count()
   }
@@ -476,19 +496,38 @@ object IncrementalDedup {
       if (f.exists(staged)) {
         val target = new Path(s"$stateDir/$t/batch=-$gen")
         f.delete(target, true) // orphan from a crashed earlier attempt
-        f.rename(staged, target)
+        // rename returns false instead of throwing on several fs failure
+        // modes; proceeding to the marker without the table would let the
+        // cleanup below delete the only copy of its rows
+        require(f.rename(staged, target),
+          s"compaction rename failed for $t — aborting before the marker flip")
       }
     }
     f.create(new Path(s"$stateDir/_commits/base-$gen-$upto"), true).close()
     f.delete(new Path(tmpRoot), true)
 
-    // lazy cleanup of superseded partitions + markers (idempotent)
+    // Cleanup sweeps EVERYTHING the new base supersedes — not just this
+    // run's `regs`/`base` lists — so orphans from a previous crash
+    // mid-cleanup are also removed (a partition is live iff its id is the
+    // new base or a regular id > upto; regular ids ≤ upto and older bases
+    // are dead by the marker's definition, even half-deleted ones).
+    def dead(idStr: String): Boolean =
+      idStr.toLongOption.exists(i => if (i < 0) i != -gen else i <= upto)
     StateTables.foreach { t =>
-      regs.foreach(id => f.delete(new Path(s"$stateDir/$t/batch=$id"), true))
-      base.foreach(b => f.delete(new Path(s"$stateDir/$t/batch=-${b.gen}"), true))
+      val root = new Path(s"$stateDir/$t")
+      if (f.exists(root)) f.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch=") && dead(n.stripPrefix("batch=")))
+          f.delete(st.getPath, true)
+      }
     }
-    regs.foreach(id => f.delete(new Path(s"$stateDir/_commits/batch-$id"), false))
-    base.foreach(b => f.delete(new Path(s"$stateDir/_commits/base-${b.gen}-${b.upto}"), false))
+    commitMarkers(spark, stateDir).foreach {
+      case m if m.startsWith("batch-") && dead(m.stripPrefix("batch-")) =>
+        f.delete(new Path(s"$stateDir/_commits/$m"), false)
+      case m if m.startsWith("base-") && m != s"base-$gen-$upto" =>
+        f.delete(new Path(s"$stateDir/_commits/$m"), false)
+      case _ => ()
+    }
     ()
   }
 
@@ -497,8 +536,11 @@ object IncrementalDedup {
     * count ≤ stopBandSize (retroactive batch semantics — see scaladoc).
     */
   def liveLshPairs(spark: SparkSession, stateDir: String,
-      cfg: DedupConfig = DedupConfig.default): DataFrame = {
-    val committed = committedIds(spark, stateDir)
+      cfg: DedupConfig = DedupConfig.default): DataFrame =
+    liveLshPairsOf(spark, stateDir, cfg, committedIds(spark, stateDir))
+
+  private def liveLshPairsOf(spark: SparkSession, stateDir: String,
+      cfg: DedupConfig, committed: Seq[Long]): DataFrame =
     (readState(spark, stateDir, "lsh_pairs", committed),
       readState(spark, stateDir, "band_counts", committed)) match {
       case (Some(lsh), Some(counts)) =>
@@ -509,12 +551,14 @@ object IncrementalDedup {
           .select("a", "b").distinct()
       case _ => emptyPairs(spark)
     }
-  }
 
   /** Verified suffix pairs still live under the FINAL gram df-cap. */
   def liveSuffixPairs(spark: SparkSession, stateDir: String,
-      cfg: DedupConfig = DedupConfig.default): DataFrame = {
-    val committed = committedIds(spark, stateDir)
+      cfg: DedupConfig = DedupConfig.default): DataFrame =
+    liveSuffixPairsOf(spark, stateDir, cfg, committedIds(spark, stateDir))
+
+  private def liveSuffixPairsOf(spark: SparkSession, stateDir: String,
+      cfg: DedupConfig, committed: Seq[Long]): DataFrame =
     (readState(spark, stateDir, "sfx_pairs", committed),
       readState(spark, stateDir, "gram_counts", committed)) match {
       case (Some(sfx), Some(counts)) =>
@@ -524,11 +568,14 @@ object IncrementalDedup {
         sfx.join(hot, Seq("fp"), "left_anti").select("a", "b").distinct()
       case _ => emptyPairs(spark)
     }
-  }
 
   /** Accumulated exact-duplicate edges (within-batch stars + glue edges). */
   def exactEdges(spark: SparkSession, stateDir: String): DataFrame =
-    readState(spark, stateDir, "exact_pairs", committedIds(spark, stateDir))
+    exactEdgesOf(spark, stateDir, committedIds(spark, stateDir))
+
+  private def exactEdgesOf(spark: SparkSession, stateDir: String,
+      committed: Seq[Long]): DataFrame =
+    readState(spark, stateDir, "exact_pairs", committed)
       .map(_.select("a", "b")).getOrElse(emptyPairs(spark))
 
   private def emptyPairs(spark: SparkSession): DataFrame = {
@@ -538,12 +585,17 @@ object IncrementalDedup {
 
   /** The composed live edge set: retroactively-capped LSH pairs ∪ exact
     * edges ∪ retroactively-capped suffix pairs (committed batches only).
+    * The commit-marker listing happens once per call, not once per branch.
     */
   def edges(spark: SparkSession, stateDir: String,
       cfg: DedupConfig = DedupConfig.default): DataFrame =
-    liveLshPairs(spark, stateDir, cfg)
-      .unionByName(exactEdges(spark, stateDir))
-      .unionByName(liveSuffixPairs(spark, stateDir, cfg))
+    edgesOf(spark, stateDir, cfg, committedIds(spark, stateDir))
+
+  private def edgesOf(spark: SparkSession, stateDir: String,
+      cfg: DedupConfig, committed: Seq[Long]): DataFrame =
+    liveLshPairsOf(spark, stateDir, cfg, committed)
+      .unionByName(exactEdgesOf(spark, stateDir, committed))
+      .unionByName(liveSuffixPairsOf(spark, stateDir, cfg, committed))
       .distinct()
 
   /** Final clusters over the accumulated live edge set (committed state
@@ -551,9 +603,11 @@ object IncrementalDedup {
     */
   def clusters(spark: SparkSession, stateDir: String,
       cfg: DedupConfig = DedupConfig.default): DataFrame = {
-    val docs = readState(spark, stateDir, "docs", committedIds(spark, stateDir))
+    val committed = committedIds(spark, stateDir)
+    val docs = readState(spark, stateDir, "docs", committed)
       .map(_.select("doc_id")).getOrElse(spark.emptyDataFrame.withColumn("doc_id", lit(0L)))
-    val mapping = graft.cc.ConnectedComponents.run(spark, edges(spark, stateDir, cfg))
+    val mapping = graft.cc.ConnectedComponents.run(spark,
+      edgesOf(spark, stateDir, cfg, committed))
     graft.cc.ConnectedComponents.assignAll(docs, mapping)
   }
 

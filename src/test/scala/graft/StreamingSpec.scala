@@ -280,6 +280,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(IncrementalDedup.clusters(spark, stateDir, cfg)
       .as[(Long, Long)].collect().toMap === clustersBefore)
 
+    // a compacted-away batch id must be REJECTED, not silently committed
+    // into a partition no reader will ever include (a recreated stream
+    // checkpoint restarting at 0 would otherwise lose fresh data)
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.processBatch(spark, df(parts(3)), stateDir, cfg, batchId = 1L)
+    }
+
     // processing continues on the compacted base and still matches the
     // batch pipeline on the full corpus; a second compaction (gen 2,
     // merging base + batch 3) holds too
