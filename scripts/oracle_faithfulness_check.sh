@@ -63,11 +63,20 @@ probe_margins() {
   python3 - "$1" <<'EOF'
 import sys, pandas as pd
 d = sys.argv[1]
-j = pd.read_parquet(f'{d}/dedup_exact_jaccard')
-bad = j[(j.jaccard > 0.1) & (j.jaccard < 0.875)]
+# candidate-level surface (pre-verify, sub-tau candidates included):
+# dedup_exact_jaccard is now the VERIFIED-only oracled query and cannot
+# witness the sub-tau side of the margin
+j = pd.read_parquet(f'{d}/dedup_cand_jaccard')
+jac = j['inter'] / j['uni']
+bad = j[(jac > 0.1) & (jac < 0.875)]
 print(f'{d}: {len(j)} LSH candidate pairs, margin violations: {len(bad)}')
 if len(bad):
     print(bad.head(10)); raise SystemExit(1)
+v = pd.read_parquet(f'{d}/dedup_exact_jaccard')
+vbad = v[v['inter'] * 1.0 / v['uni'] < 0.875]
+print(f'{d}: {len(v)} verified pairs, below-0.875 violations: {len(vbad)}')
+if len(vbad):
+    print(vbad.head(10)); raise SystemExit(1)
 EOF
 }
 probe_margins /tmp/verify_synth

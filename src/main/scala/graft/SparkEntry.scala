@@ -227,12 +227,42 @@ object SparkEntry {
         .select("path").orderBy("path")),
 
     // ---- exact Jaccard on shingle arrays (row 25) + capped members (row 36) ----
+    // Integer (inter, uni) over the VERIFIED LSH pair set, original-id
+    // space — DuckDB-oracled by the dupCte's jac/rjac branch minus suffix
+    // pairs (collapse priority routes a pair that is both to src='suffix').
+    // Value equality rests on the measured sf0.01 margins: est-vs-exact
+    // separation at τ, no hamming-only-verified pairs, no shingle-hash
+    // collisions (all asserted by scripts/oracle_faithfulness_check.sh),
+    // plus exact_dup_groups = 0 (so engine reps ≡ oracle reps — with
+    // identical-content groups the two engines pick different rep ids and
+    // only cluster-level comparison is meaningful, as the dedup-core
+    // oracles do).
     "dedup_exact_jaccard" -> ((s, d) => {
       val t1d = DedupPipeline.distinctByContent(docsT1(s, d))
       val sh = DedupPipeline.shingled(s, t1d, cfg)
       val res = pipeline(s, d)
+      val pairs = res.verifiedPairs.where(col("src").isin("minhash", "simhash"))
+        .select("a", "b")
+      val m = res.t1.select(col("doc_id"), origId(col("path")).as("orig"))
+      verify.Verifier.exactJaccard(pairs, sh)
+        .join(m.select(col("doc_id").as("a"), col("orig").as("oa")), "a")
+        .join(m.select(col("doc_id").as("b"), col("orig").as("ob")), "b")
+        .select(least(col("oa"), col("ob")).as("a"),
+          greatest(col("oa"), col("ob")).as("b"), col("inter"), col("uni"))
+        .orderBy("a", "b")
+    }),
+    // Margin-probe surface: exact integer Jaccard over ALL LSH candidate
+    // pairs (pre-verify — sub-τ candidates included). This is what the
+    // est-vs-exact margin rests on (scripts/oracle_faithfulness_check.sh
+    // asserts no candidate sits in the (0.1, 0.875) gap); inherently
+    // LSH-candidate-dependent → rows-only, no SQL oracle.
+    "dedup_cand_jaccard" -> ((s, d) => {
+      val t1d = DedupPipeline.distinctByContent(docsT1(s, d))
+      val sh = DedupPipeline.shingled(s, t1d, cfg)
+      val res = pipeline(s, d)
       verify.Verifier.exactJaccard(
-        res.candidatePairs.where(col("src").isin("minhash", "simhash")), sh)
+        res.candidatePairs.where(col("src").isin("minhash", "simhash")).select("a", "b"), sh)
+        .select("a", "b", "inter", "uni")
         .orderBy("a", "b")
     }),
     "cluster_members" -> ((s, d) =>
@@ -558,6 +588,8 @@ object SparkEntry {
       s"WITH RECURSIVE $dupCte SELECT d.doc_id, CAST(coalesce(len(s.shingles), 0) AS BIGINT) AS n_shingles FROM documents d JOIN reps r ON r.doc_id = d.doc_id AND r.rep = d.doc_id LEFT JOIN sh s ON s.doc_id = d.doc_id ORDER BY d.doc_id",
     "dedup_cluster_stats" ->
       s"WITH RECURSIVE $dupCte SELECT cluster_id, count(*) AS size, count(DISTINCT source) AS n_repos FROM cl JOIN documents USING (doc_id) GROUP BY 1 ORDER BY 1",
+    "dedup_exact_jaccard" ->
+      s"WITH RECURSIVE $dupCte SELECT j.a, j.b, j.inter, j.uni FROM jac j JOIN reps ra ON ra.doc_id = j.a AND ra.rep = j.a JOIN reps rb ON rb.doc_id = j.b AND rb.rep = j.b WHERE 10*j.inter >= 7*j.uni AND NOT EXISTS (SELECT 1 FROM sfx s WHERE s.a = j.a AND s.b = j.b) ORDER BY j.a, j.b",
     "cluster_members" ->
       s"WITH RECURSIVE $dupCte SELECT cluster_id, array_to_string(list_sort(list(doc_id))[1:20], ',') AS sample_members, count(*) AS size FROM cl GROUP BY 1 ORDER BY 1",
     "first_stories" ->

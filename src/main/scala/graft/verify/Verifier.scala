@@ -81,14 +81,17 @@ object Verifier {
         passthrough.map(col): _*)
   }
 
-  /** Exact Jaccard on shingle arrays — test/calibration only (row 25). */
+  /** Exact Jaccard on shingle arrays — calibration / oracle surface
+    * (row 25). Emits the INTEGER intersection/union alongside the ratio so
+    * cross-engine comparisons stay float-free.
+    */
   def exactJaccard(pairs: DataFrame, shingled: DataFrame): DataFrame = {
     val sa = shingled.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
     val sb = shingled.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
     pairs.join(sa, "a").join(sb, "b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))))
-      .select("a", "b", "jaccard")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .select("a", "b", "inter", "uni", "jaccard")
   }
 }
