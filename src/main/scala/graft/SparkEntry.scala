@@ -418,6 +418,15 @@ object SparkEntry {
       extra.Multimodal.frameSample(s, extra.Multimodal.assets(s, d)).toDF()
         .select(col("asset_id"), col("n_frames"))
         .orderBy("asset_id")),
+    "mm_resize" -> ((s, d) =>
+      // box-fit resize in pure integer math (binding dim by
+      // cross-multiplication, floor division) — exactly reproducible by the
+      // DuckDB twin from the asset construction rule; the pixel resample is
+      // the documented codec stub, the binary re-encode flow is real
+      extra.Multimodal.resize(s, extra.Multimodal.assets(s, d)).toDF()
+        .select(col("asset_id"), col("kind"), col("width"), col("height"),
+          col("out_width"), col("out_height"), col("n_bytes_out"))
+        .orderBy("asset_id")),
     "mm_features" -> ((s, d) =>
       // scalar digest per row (raw float arrays crash the driver compare)
       extra.Multimodal.features(s, extra.Multimodal.assets(s, d)).toDF()
@@ -612,6 +621,11 @@ object SparkEntry {
     // construction rule, so DuckDB can check the full plumbing.
     "mm_decode" ->
       "SELECT doc_id AS asset_id, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, CAST(16 + doc_id % 64 AS INTEGER) AS width, CAST(16 + doc_id % 48 AS INTEGER) AS height, CAST(12 + strlen(text) AS BIGINT) AS n_bytes, true AS valid FROM documents ORDER BY asset_id",
+    // resize twin: same integer box-fit rule over the construction dims
+    // (w = 16 + id%64, h = 16 + id%48, box 32×32); `//` floors like the
+    // kernel's long division, and every branch is integer-only
+    "mm_resize" ->
+      "WITH a AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, CAST(16 + doc_id % 64 AS INTEGER) AS w, CAST(16 + doc_id % 48 AS INTEGER) AS h FROM documents), r AS (SELECT doc_id, kind, w, h, CASE WHEN w <= 32 AND h <= 32 THEN w WHEN w * 32 >= h * 32 THEN 32 ELSE greatest(1, (w * 32) // h) END AS ow, CASE WHEN w <= 32 AND h <= 32 THEN h WHEN w * 32 >= h * 32 THEN greatest(1, (h * 32) // w) ELSE 32 END AS oh FROM a) SELECT doc_id AS asset_id, kind, w AS width, h AS height, CAST(ow AS INTEGER) AS out_width, CAST(oh AS INTEGER) AS out_height, CAST(12 + ow * oh AS BIGINT) AS n_bytes_out FROM r ORDER BY asset_id",
     // frames = strided windows over the 12-byte-header-stripped payload:
     // count = min(maxFrames=8, floor((len-frameLen=32)/stride=256)+1)
     "mm_frames" ->

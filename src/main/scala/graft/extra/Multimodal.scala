@@ -25,6 +25,8 @@ object Multimodal {
       n_bytes: Long, valid: Boolean)
   final case class Feature(asset_id: Long, embedding: Array[Float])
   final case class Frames(asset_id: Long, n_frames: Int, frames: Array[Array[Byte]])
+  final case class Resized(asset_id: Long, kind: String, width: Int, height: Int,
+      out_width: Int, out_height: Int, n_bytes_out: Long, payload: Array[Byte])
 
   /** STUB codec — clearly fake, deterministic. Header layout it expects:
     * bytes 0-3 magic "GRFT", 4-7 width, 8-11 height (big-endian).
@@ -109,6 +111,38 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // a real extractor would run one forward pass over `batch` here
         batch.map(a => Feature(a.asset_id, FakeCodec.features(a.payload, dim)))
+      }
+    }
+  }
+
+  /** Aspect-preserving box-fit resize in PURE INTEGER math (no float scale
+    * factor, so the output dims are exactly reproducible by any engine:
+    * binding dimension by cross-multiplication, floor division for the
+    * other). The pixel resample itself is the documented codec stub — the
+    * emitted payload is the fake re-encode (new header + body truncated or
+    * zero-padded to out_w·out_h bytes), so the binary flow downstream of a
+    * real resampler is exercised end-to-end.
+    */
+  def resize(spark: SparkSession, assets: Dataset[Asset],
+      maxW: Int = 32, maxH: Int = 32): Dataset[Resized] = {
+    import spark.implicits._
+    require(maxW > 0 && maxH > 0, "target box must be positive")
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val (w, h) = FakeCodec.decode(a.payload).getOrElse((-1, -1))
+        val (ow, oh) =
+          if (w <= 0 || h <= 0) (-1, -1)
+          else if (w <= maxW && h <= maxH) (w, h)
+          else if (w.toLong * maxH >= h.toLong * maxW)
+            (maxW, math.max(1, (h.toLong * maxW / w).toInt)) // width-binding
+          else (math.max(1, (w.toLong * maxH / h).toInt), maxH) // height-binding
+        val out =
+          if (ow <= 0) Array.emptyByteArray
+          else {
+            val body = java.util.Arrays.copyOf(a.payload.drop(12), ow * oh)
+            FakeCodec.encodeHeader(ow, oh, body)
+          }
+        Resized(a.asset_id, a.kind, w, h, ow, oh, out.length.toLong, out)
       }
     }
   }

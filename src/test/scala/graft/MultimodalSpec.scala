@@ -42,6 +42,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(fr.exists(_.n_frames > 0))
   }
 
+  test("resize: integer box-fit preserves aspect binding, re-encode round-trips") {
+    val r = Multimodal.resize(spark, assets, maxW = 32, maxH = 32).collect()
+    assert(r.length === 500)
+    r.foreach { x =>
+      assert(x.out_width <= 32 && x.out_height <= 32, s"${x.asset_id} exceeds box")
+      assert(x.out_width >= 1 && x.out_height >= 1)
+      // within-box inputs pass through untouched
+      if (x.width <= 32 && x.height <= 32) {
+        assert(x.out_width === x.width && x.out_height === x.height)
+      } else {
+        // the binding dimension hits the box exactly
+        assert(x.out_width === 32 || x.out_height === 32)
+        // aspect never inverts: the wider input stays the wider output
+        if (x.width > x.height) assert(x.out_width >= x.out_height)
+        if (x.height > x.width) assert(x.out_height >= x.out_width)
+      }
+      assert(x.n_bytes_out === 12L + x.out_width * x.out_height)
+      // the fake re-encode must itself decode to the output dims
+      assert(Multimodal.FakeCodec.decode(x.payload).contains((x.out_width, x.out_height)))
+    }
+    // the corpus exercises both pass-through and both binding branches
+    assert(r.exists(x => x.width <= 32 && x.height <= 32))
+    assert(r.exists(x => x.width > 32 && x.width >= x.height))
+    assert(r.exists(x => x.height > 32 && x.height > x.width))
+  }
+
   test("payload-aware repartition yields the requested granularity") {
     val total = assets.collect().map(_.payload.length.toLong).sum
     val rep = Multimodal.repartitionByPayload(assets, total, bytesPerPartition = total / 7)
