@@ -21,6 +21,15 @@ base = [f"nd{i}" for i in range(200)]
 v = list(base); v[5] = "CHANGED"; v[77] = "ALSO"
 rows.append((30, " ".join(base), "en", "srcD"))                  # near dup
 rows.append((31, " ".join(v), "en", "srcD"))
+# MINHASH-ONLY near-dup pair: pair (30,31)'s edits leave >=50-token common
+# runs, so it collapses to src='suffix' and the margin probes over the
+# minhash/simhash surfaces were VACUOUS on this corpus. One token DELETED
+# at index 45 of 95 keeps every common run < suffixMinLen=50 (runs 45/49)
+# while exact Jaccard stays ~0.905 >= the 0.875 dup margin — a real
+# minhash-source witness for both probe surfaces.
+mh = [f"mh{i}" for i in range(95)]
+rows.append((40, " ".join(mh), "en", "srcE"))
+rows.append((41, " ".join(mh[:45] + mh[46:]), "en", "srcE"))
 con = duckdb.connect()
 con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR)")
 con.executemany("INSERT INTO d VALUES (?,?,?,?)", rows)
@@ -67,6 +76,11 @@ d = sys.argv[1]
 # dedup_exact_jaccard is now the VERIFIED-only oracled query and cannot
 # witness the sub-tau side of the margin
 j = pd.read_parquet(f'{d}/dedup_cand_jaccard')
+if len(j) == 0:
+    # a corpus with no minhash/simhash candidates proves nothing — fail
+    # loudly instead of passing vacuously (the synth corpus plants a
+    # minhash-only pair precisely so this surface is populated)
+    print(f'{d}: VACUOUS margin probe (0 candidate pairs)'); raise SystemExit(1)
 jac = j['inter'] / j['uni']
 bad = j[(jac > 0.1) & (jac < 0.875)]
 print(f'{d}: {len(j)} LSH candidate pairs, margin violations: {len(bad)}')

@@ -64,6 +64,14 @@ object SparkEntry {
         }
     }
 
+  /** Shared preamble of the two exact-Jaccard surfaces: the memoized
+    * pipeline result plus the sha-distinct reps' shingle arrays.
+    */
+  private def repShingles(s: SparkSession, d: String): (DedupPipeline.Result, DataFrame) = {
+    val t1d = DedupPipeline.distinctByContent(docsT1(s, d))
+    (pipeline(s, d), DedupPipeline.shingled(s, t1d, cfg))
+  }
+
   /** Original document id recovered from the canonical path ('doc/<id>') —
     * lets DuckDB oracles reproduce pipeline outputs in the documents table's
     * own id space (the engine's doc_id is xxhash64(repo,path,commit), which
@@ -238,9 +246,7 @@ object SparkEntry {
     // only cluster-level comparison is meaningful, as the dedup-core
     // oracles do).
     "dedup_exact_jaccard" -> ((s, d) => {
-      val t1d = DedupPipeline.distinctByContent(docsT1(s, d))
-      val sh = DedupPipeline.shingled(s, t1d, cfg)
-      val res = pipeline(s, d)
+      val (res, sh) = repShingles(s, d)
       val pairs = res.verifiedPairs.where(col("src").isin("minhash", "simhash"))
         .select("a", "b")
       val m = res.t1.select(col("doc_id"), origId(col("path")).as("orig"))
@@ -257,9 +263,7 @@ object SparkEntry {
     // asserts no candidate sits in the (0.1, 0.875) gap); inherently
     // LSH-candidate-dependent → rows-only, no SQL oracle.
     "dedup_cand_jaccard" -> ((s, d) => {
-      val t1d = DedupPipeline.distinctByContent(docsT1(s, d))
-      val sh = DedupPipeline.shingled(s, t1d, cfg)
-      val res = pipeline(s, d)
+      val (res, sh) = repShingles(s, d)
       verify.Verifier.exactJaccard(
         res.candidatePairs.where(col("src").isin("minhash", "simhash")).select("a", "b"), sh)
         .select("a", "b", "inter", "uni")

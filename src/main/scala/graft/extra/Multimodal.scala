@@ -69,7 +69,11 @@ object Multimodal {
   def assets(spark: SparkSession, sfDir: String): Dataset[Asset] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .select(col("doc_id"), col("text"))
+      // single small parquet file = one scan partition: spread here so every
+      // downstream typed kernel (decode/features/resize/frames) parallelizes
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .as[(Long, String)]
       .map { case (id, text) =>
         val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val w = 16 + (id % 64).toInt
@@ -127,6 +131,8 @@ object Multimodal {
       maxW: Int = 32, maxH: Int = 32): Dataset[Resized] = {
     import spark.implicits._
     require(maxW > 0 && maxH > 0, "target box must be positive")
+    require(maxW.toLong * maxH <= Int.MaxValue - 12,
+      "target box area overflows the payload byte length")
     assets.mapPartitions { it =>
       it.map { a =>
         val (w, h) = FakeCodec.decode(a.payload).getOrElse((-1, -1))
@@ -139,7 +145,9 @@ object Multimodal {
         val out =
           if (ow <= 0) Array.emptyByteArray
           else {
-            val body = java.util.Arrays.copyOf(a.payload.drop(12), ow * oh)
+            // one bounded copy: copyOfRange truncates or zero-pads past the
+            // source end (payload.length >= 12 whenever decode succeeded)
+            val body = java.util.Arrays.copyOfRange(a.payload, 12, 12 + ow * oh)
             FakeCodec.encodeHeader(ow, oh, body)
           }
         Resized(a.asset_id, a.kind, w, h, ow, oh, out.length.toLong, out)
