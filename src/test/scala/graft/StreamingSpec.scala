@@ -94,6 +94,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toMap
     val batchClusters = batch.clusters.as[(Long, Long)].collect().toMap
     assert(incClusters === batchClusters)
+
+    // per-batch lineage: every committed batch leaves one stage_meta row per
+    // state table (wall/bytes/config fingerprint), docs rows carry the
+    // batch's doc count — a long-running stream's history is queryable, not
+    // only in Spark logs
+    val meta = spark.read.parquet(s"$stateDir/stage_meta")
+      .select($"run_id", $"stage", $"rows", $"bytes", $"input_fingerprint", $"wall_ms")
+      .as[(String, String, Option[Long], Long, String, Long)].collect()
+    (0 to 2).foreach { b =>
+      val rows = meta.filter(_._1 == s"incr-$b")
+      assert(rows.map(_._2).toSet.intersect(
+        Set("docs", "signatures", "bands", "band_counts", "lsh_pairs", "exact_pairs"))
+        .size === 6, s"batch $b missing lineage tables: ${rows.map(_._2).toSeq}")
+      val docsRow = rows.find(_._2 == "docs").get
+      assert(docsRow._3 === Some(parts(b).size.toLong), s"batch $b docs row count")
+      assert(docsRow._4 > 0L && docsRow._6 > 0L, "bytes/wall must be recorded")
+      assert(rows.forall(_._5 == cfg.fingerprint), "config fingerprint stamped")
+    }
   }
 
   test("incremental suffix pass: containment found across batches; retroactive df-cap") {
@@ -266,19 +284,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "a crashed compaction must not change the visible state")
 
     IncrementalDedup.compactState(spark, stateDir)
-    // the three batch partitions collapsed into the single gen-1 base
+    // batches 0..1 collapsed into the gen-1 base; batch 2 — the NEWEST
+    // committed epoch, the one a streaming restart may legitimately replay —
+    // is deliberately left un-superseded (ADVICE round 3: compacting it away
+    // turned a latest-epoch replay into a permanent crash loop)
     val hfs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def partDirs(t: String) =
       hfs.listStatus(new org.apache.hadoop.fs.Path(s"$stateDir/$t"))
         .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq.sorted
     Seq("docs", "bands", "band_counts", "lsh_pairs", "exact_pairs").foreach { t =>
-      assert(partDirs(t) === Seq("batch=-1"), s"$t not compacted: ${partDirs(t)}")
+      assert(partDirs(t) === Seq("batch=-1", "batch=2"), s"$t: ${partDirs(t)}")
     }
     assert(IncrementalDedup.edges(spark, stateDir, cfg)
       .as[(Long, Long)].collect().toSet === edgesBefore)
     assert(IncrementalDedup.clusters(spark, stateDir, cfg)
       .as[(Long, Long)].collect().toMap === clustersBefore)
+    // the compaction itself leaves lineage rows for the new base partition
+    assert(spark.read.parquet(s"$stateDir/stage_meta")
+      .where($"run_id" === "incr-compact-1" && $"stage" === "docs").count() === 1L)
+
+    // a streaming replay of the NEWEST epoch (id 2) after compaction is a
+    // committed-marker no-op — not a superseded-id crash
+    val replay = IncrementalDedup.processBatch(spark, df(parts(2)), stateDir, cfg, batchId = 2L)
+    assert(replay.newPairs === 0L, "latest-epoch replay after compaction must no-op")
+    assert(IncrementalDedup.edges(spark, stateDir, cfg)
+      .as[(Long, Long)].collect().toSet === edgesBefore)
 
     // a compacted-away batch id must be REJECTED, not silently committed
     // into a partition no reader will ever include (a recreated stream
@@ -289,7 +320,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
     // processing continues on the compacted base and still matches the
     // batch pipeline on the full corpus; a second compaction (gen 2,
-    // merging base + batch 3) holds too
+    // merging base + batch 2, leaving the new newest batch 3) holds too
     IncrementalDedup.processBatch(spark, df(parts(3)), stateDir, cfg)
     val batchClusters = DedupPipeline.run(spark,
         ingest.Ingest.ingest(df(corpus)), cfg)
@@ -297,7 +328,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(IncrementalDedup.clusters(spark, stateDir, cfg)
       .as[(Long, Long)].collect().toMap === batchClusters)
     IncrementalDedup.compactState(spark, stateDir)
-    assert(partDirs("docs") === Seq("batch=-2"))
+    assert(partDirs("docs") === Seq("batch=-2", "batch=3"))
     assert(IncrementalDedup.clusters(spark, stateDir, cfg)
       .as[(Long, Long)].collect().toMap === batchClusters)
   }
