@@ -10,14 +10,19 @@
 # scaling_protocol.sh.
 set -e
 cd "$(dirname "$0")/.."
-MULT=${MULT:-20}        # 100k docs from sf0.1
-LENMULT=${LENMULT:-32}  # ~1.7k tokens/doc
+MULT=${MULT:-10}        # 50k docs from sf0.1
+LENMULT=${LENMULT:-32}  # ~1.7k tokens/doc (non-dup replicas ~3.4k)
+# interleave: non-dup replicas are TRUE non-dups (token-interleaved junk);
+# "mixed" at long lengths turns every replica group into one suffix clique
+# via the verbatim base-text prefix — adversarial, not the realistic ~25%
+# dup-mass web shape this protocol is about
+DUPMODE=${DUPMODE:-interleave}
 for rep in 1 2 3; do
   for cpus in 4 16; do
     out=/tmp/bench_cw_${cpus}_${rep}.json
     SPARK_LOCAL_DIRS=/dev/shm/spark-local SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     SPARK_GRAFT_MULT=$MULT SPARK_GRAFT_LENMULT=$LENMULT SPARK_GRAFT_CPUS=$cpus \
-    SPARK_DRIVER_MEM=24g \
+    SPARK_GRAFT_DUPMODE=$DUPMODE SPARK_DRIVER_MEM=24g \
     SPARK_GRAFT_BENCH_ONLY=dedup_end_to_end,dedup_kernel_only \
     SPARK_GRAFT_BENCH_OUT=$out sbt -batch "runMain graft.Bench" > /dev/null 2>&1
     echo "rep$rep cpus$cpus: $(python3 -c "import json;print(json.load(open('$out'))['queries'])")"

@@ -27,6 +27,14 @@ object Bench {
     *    in ~5-doc clusters — the realistic web-corpus shape.
     *  - "clique": every replica is a near-dup of the base → `mult`-cliques,
     *    quadratic pair mass. Adversarial stress test for pair generation.
+    *  - "interleave": like mixed, but non-dup replicas INTERLEAVE the junk
+    *    token-by-token instead of appending it — no 5-shingle and no
+    *    50-token run survives, so they are true non-duplicates. Use for
+    *    content-weighted runs: mixed's appended junk leaves the base text
+    *    as a verbatim prefix, which the suffix pass correctly flags as
+    *    containment — at realistic doc lengths that turns every replica
+    *    group into one big suffix clique (≈100% dup mass, adversarial),
+    *    where a real web corpus has ~25%.
     *
     * `lenMult` (SPARK_GRAFT_LENMULT) is the CONTENT-WEIGHTED knob for the
     * scaling protocol: each base doc's text is padded to ~lenMult× its
@@ -72,13 +80,19 @@ object Bench {
         val content =
           if (dupMode == "clique") concat(col("text"), lit(" rep"), col("rep"))
           else {
-            // unique junk half: one base36 token per original token
+            // unique junk: one base36 token per original token
             val ntok = size(split(col("text"), "\\s+"))
-            val junk = concat_ws(" ", transform(sequence(lit(1), ntok),
-              i => conv(abs(xxhash64(col("doc_id"), col("rep"), i)), 10, 36)))
+            val junk = transform(sequence(lit(1), ntok),
+              i => conv(abs(xxhash64(col("doc_id"), col("rep"), i)), 10, 36))
+            val nonDup =
+              if (dupMode == "interleave")
+                // token-wise interleave: breaks every shingle and run
+                concat_ws(" ", flatten(zip_with(split(col("text"), "\\s+"), junk,
+                  (a, b) => array(a, b))))
+              else concat_ws(" ", col("text"), concat_ws(" ", junk))
             when(col("rep") === 0, col("text"))
               .when(pmod(col("rep"), lit(5)) === 1, concat(col("text"), lit(" nd"), col("rep")))
-              .otherwise(concat_ws(" ", col("text"), junk))
+              .otherwise(nonDup)
           }
         rep.select(
           concat(col("source"), lit("_"), col("rep")).as("repo"),

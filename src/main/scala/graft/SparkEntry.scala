@@ -506,7 +506,15 @@ object SparkEntry {
     // truth — rows-only (probe-dependent), but the number is tracked in
     // every round's artifacts; SimilaritySpec asserts the recall floor
     "ann_lsh_recall" -> ((s, d) => Similarity.lshRecall(s, d)),
-    "ann_topk_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // float-free projection (ann_topk_brute precedent) — the IVF path is
+    // fully deterministic (√n lowest-id init, one Lloyd step, fixed
+    // probes), so a DuckDB twin is expressible; value equality rests on
+    // MEASURED margins at sf0.01: min assignment gap 6.2e-5, min
+    // probe-boundary gap 2.5e-3, min top-k rank gap 1.9e-5 — all ≫ the
+    // ~3e-8 cross-engine cosine error, and float32-rounded vs
+    // double-precision Lloyd centroids give identical assignments/probes
+    "ann_topk_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(s, d).select("query_id", "neighbor_id", "rank")),
     // embeddingDupClusters itself ends with orderBy(vec_id)
     "emb_dup_clusters" -> ((s, d) => Similarity.embeddingDupClusters(s, d)),
 
@@ -783,6 +791,29 @@ object SparkEntry {
     // exact-cosine ANN ground truth, float-free: ranks are stable across
     // engines (min adjacent-cosine gap ~2e-5 vs ~3e-8 float error at
     // sf0.01); ties broken by neighbor_id on both sides
+    // IVF twin: the engine's exact construction — √n lowest-id init,
+    // nearest-centroid assignment (ties → lowest cid, the engine's
+    // first-strict-max rule), one Lloyd step as per-dimension double means
+    // (zipped unnest), re-assignment, top-nprobe probes per query, exact
+    // cosine rank over probed lists. Engine centroids are float32-rounded
+    // while DuckDB keeps doubles; measured sf0.01 margins (assignment gap
+    // 6.2e-5, probe gap 2.5e-3, rank gap 1.9e-5 vs ~3e-8 float error) make
+    // the integer (query_id, neighbor_id, rank) output value-exact.
+    "ann_topk_ivf" ->
+      """WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        |prm AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS nlist, greatest(2, CAST(ceil(sqrt(count(*))) AS INT) // 4) AS nprobe FROM emb),
+        |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c FROM emb ORDER BY vec_id LIMIT (SELECT nlist FROM prm)),
+        |a1 AS (SELECT vec_id, cid FROM (SELECT e.vec_id, i.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, i.c) DESC, i.cid) AS rn FROM emb e CROSS JOIN init i) t WHERE rn = 1),
+        |mexp AS (SELECT cid, unnest(range(1, len(embedding)+1)) AS i, unnest(embedding) AS v FROM a1 JOIN emb USING (vec_id)),
+        |ref AS (SELECT cid, list(m ORDER BY i) AS c FROM (SELECT cid, i, avg(v) AS m FROM mexp GROUP BY cid, i) t GROUP BY cid),
+        |a2 AS (SELECT vec_id, cid FROM (SELECT e.vec_id, r.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, r.c) DESC, r.cid) AS rn FROM emb e CROSS JOIN ref r) t WHERE rn = 1),
+        |q AS (SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT 20),
+        |probes AS (SELECT query_id, cid FROM (SELECT q.vec_id AS query_id, r.cid, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, r.c) DESC, r.cid) AS rn FROM q CROSS JOIN ref r) t WHERE rn <= (SELECT nprobe FROM prm)),
+        |cand AS (SELECT p.query_id, a2.vec_id AS neighbor_id FROM probes p JOIN a2 ON a2.cid = p.cid WHERE a2.vec_id <> p.query_id),
+        |scored AS (SELECT c.query_id, c.neighbor_id, list_cosine_similarity(qe.embedding, ne.embedding) AS cos FROM cand c JOIN emb qe ON qe.vec_id = c.query_id JOIN emb ne ON ne.vec_id = c.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank" FROM scored)
+        |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"
+        |""".stripMargin.replaceAll("\\s+", " "),
     "ann_topk_brute" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 20), s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, list_cosine_similarity(q.embedding, e.embedding) AS cos FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id), r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS "rank" FROM s) SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
     "q_agg_pricing" ->

@@ -460,7 +460,9 @@ object IncrementalDedup {
       .select(col("a"), col("b"), col("ta"), col("tb"))
       .as[(Long, Long, Array[Long], Array[Long])]
       .mapPartitions(_.flatMap { case (a, b, tA, tB) =>
-        if (graft.suffix.SuffixArrays.maxCommonSubstring(tA, tB) >= minLen) Some((a, b))
+        // same exact O(n) decision as the batch pass (SA only as the
+        // hash-collision fallback arbiter)
+        if (graft.suffix.SuffixArrays.commonRunAtLeast(tA, tB, minLen) >= minLen) Some((a, b))
         else None
       })
       .toDF("a", "b")

@@ -121,39 +121,81 @@ object SuffixPass {
     val fps = toks.flatMap(d => grams(d.tokens, minLen).map(fp => (fp, d.doc_id)))
       .toDF("fp", "doc_id")
 
-    // Candidate pairs from shared rare fingerprints. groupByKey keeps the
-    // pair emission streaming per group; df cap bounds every group.
+    // Candidate pairs from shared rare fingerprints: one fp-hash shuffle +
+    // in-partition sort, then a streaming group scan.
     //
     // Deliberately NOT the self-join formulation that won for LSH bands:
     // gram keys are overwhelmingly unique (most grams appear in one doc),
     // so a count pre-pass gets no map-side compression and the join
     // shuffles the gram table twice more — measured 4× SLOWER than this
     // single-shuffle typed path at 500k docs (18 s vs 4.5 s at 16 cores).
-    val cands = fps.as[(Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val docsArr = it.map(_._2).toArray.distinct
-        if (docsArr.length < 2 || docsArr.length > dfMax) Iterator.empty
-        else {
-          java.util.Arrays.sort(docsArr)
-          for {
-            x <- docsArr.indices.iterator
-            y <- (x + 1 until docsArr.length).iterator
-          } yield (docsArr(x), docsArr(y))
+    //
+    // Group-LIST dedup before emission: a shared token run of length L
+    // contributes L−minLen+1 gram groups that all hold the SAME doc list,
+    // so naive per-group emission writes each pair once per anchor gram —
+    // C(df,2)·(L−minLen+1) rows per run through the exchange. Measured at
+    // content-weighted shape (100k docs × ~1.7k tokens, 20-doc shared-run
+    // cliques): 1.5·10⁹ emitted rows, 33 GB shuffle, 540 s of a 677 s e2e.
+    // A partition-local HashSet over the (sorted, distinct) doc lists
+    // collapses the per-run repetition before the exchange — identical
+    // emitted SET (dropDuplicates still dedups across partitions/lists);
+    // same corpus drops to ~10⁷ rows. The set is bounded by distinct doc
+    // lists per partition, itself bounded by pair output, not gram count.
+    val cands = fps
+      .repartition(col("fp"))
+      .sortWithinPartitions("fp")
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        val seenLists = new java.util.HashSet[scala.collection.immutable.ArraySeq[Long]]()
+        new Iterator[(Long, Long)] {
+          private var pending: Iterator[(Long, Long)] = Iterator.empty
+          private def advance(): Unit = {
+            while (!pending.hasNext && it.hasNext) {
+              val fp = it.head._1
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+              while (it.hasNext && it.head._1 == fp) buf += it.next()._2
+              val docsArr = buf.toArray.distinct
+              if (docsArr.length >= 2 && docsArr.length <= dfMax) {
+                java.util.Arrays.sort(docsArr)
+                if (seenLists.add(
+                    scala.collection.immutable.ArraySeq.unsafeWrapArray(docsArr))) {
+                  pending = for {
+                    x <- docsArr.indices.iterator
+                    y <- (x + 1 until docsArr.length).iterator
+                  } yield (docsArr(x), docsArr(y))
+                }
+              }
+            }
+          }
+          def hasNext: Boolean = { advance(); pending.hasNext }
+          def next(): (Long, Long) = { advance(); pending.next() }
         }
       }
       .dropDuplicates()
       .toDF("a", "b")
 
     // Attach both token streams and run the per-pair suffix-array kernel.
-    val ta = toks.toDF("a", "toks_a")
-    val tb = toks.toDF("b", "toks_b")
+    // The token state is endpoint-pruned first (same discipline as the
+    // incremental path): only docs that appear in a candidate pair need
+    // their streams in the join — at 100 TB the full token table is the
+    // corpus itself and must stay out of the exchange.
+    val ends = cands.select(col("a").as("doc_id"))
+      .unionByName(cands.select(col("b").as("doc_id"))).distinct()
+    val toksC = toks.toDF().join(ends, Seq("doc_id"), "left_semi")
+    val ta = toksC.select(col("doc_id").as("a"), col("tokens").as("toks_a"))
+    val tb = toksC.select(col("doc_id").as("b"), col("tokens").as("toks_b"))
     cands.join(ta, "a").join(tb, "b")
       .select(col("a"), col("b"), col("toks_a"), col("toks_b"))
       .as[(Long, Long, Array[Long], Array[Long])]
       .mapPartitions { it =>
         it.flatMap { case (a, b, tA, tB) =>
-          val len = SuffixArrays.maxCommonSubstring(tA, tB)
+          // exact O(n) decision + witness; SA only on hash-collision
+          // fallback (see SuffixArrays.commonRunAtLeast scaladoc).
+          // shared_len is a witness run length ≥ minLen, not necessarily
+          // the global maximum (no consumer needs the max; the pipeline
+          // gates on ≥ minLen).
+          val len = SuffixArrays.commonRunAtLeast(tA, tB, cfg.suffixMinLen)
           if (len >= cfg.suffixMinLen) Some((a, b, len)) else None
         }
       }

@@ -46,6 +46,29 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(SuffixArrays.maxCommonSubstring(Array(1L, 2L), Array(3L, 4L)) === 0)
   }
 
+  test("commonRunAtLeast: decision agrees with maxCommonSubstring; witness bounded") {
+    val rnd = new java.util.SplittableRandom(29)
+    for (trial <- 1 to 300) {
+      val na = 1 + rnd.nextInt(120)
+      val nb = 1 + rnd.nextInt(120)
+      val alpha = 2 + rnd.nextInt(5) // small alphabet → many borderline runs
+      val a = Array.fill(na)(rnd.nextInt(alpha).toLong)
+      val b = Array.fill(nb)(rnd.nextInt(alpha).toLong)
+      val l = 1 + rnd.nextInt(12)
+      val mcs = SuffixArrays.maxCommonSubstring(a, b)
+      val w = SuffixArrays.commonRunAtLeast(a, b, l)
+      assert((w >= l) === (mcs >= l), s"trial $trial L=$l mcs=$mcs w=$w")
+      if (w > 0) assert(w >= l && w <= mcs, s"trial $trial witness out of bounds")
+    }
+    // planted long-run case at the real minLen
+    val run = Array.fill(70)(rnd.nextLong())
+    val a = Array.fill(500)(rnd.nextLong()) ++ run ++ Array.fill(300)(rnd.nextLong())
+    val b = Array.fill(100)(rnd.nextLong()) ++ run ++ Array.fill(700)(rnd.nextLong())
+    val w = SuffixArrays.commonRunAtLeast(a, b, 50)
+    assert(w === 70, s"witness should extend to the full planted run, got $w")
+    assert(SuffixArrays.commonRunAtLeast(a.take(400), b.take(90), 50) === 0)
+  }
+
   test("winnow guarantee: shared run >= minLen shares a fingerprint") {
     import graft.suffix.SuffixPass
     val cfg = conf.DedupConfig.default

@@ -124,7 +124,8 @@ object ProfPhases {
     }
     val mult = sys.env.getOrElse("P_MULT", "20").toInt
     val dupMode = sys.env.getOrElse("SPARK_GRAFT_DUPMODE", "mixed")
-    val t1 = graft.Bench.benchT1(spark, "/root/testdata/sf0.1", mult, dupMode)
+    val lenMult = sys.env.getOrElse("P_LENMULT", "1").toInt
+    val t1 = graft.Bench.benchT1(spark, "/root/testdata/sf0.1", mult, dupMode, lenMult)
       .repartition(cpus.toInt * 2).persist()
     println(s"docs=${t1.count()}")
     val t1d = time("t1_distinct")(graft.DedupPipeline.distinctByContent(t1).persist())
