@@ -174,15 +174,27 @@ object SuffixPass {
       }
       .dropDuplicates()
       .toDF("a", "b")
+      // LAZY local checkpoint: the candidate table feeds FIVE subtrees
+      // below (2× in ends, 2× via toksC in ta/tb, 1× in the verify join)
+      // and neither plan-time ReuseExchange nor AQE stage reuse collapses
+      // the duplicated typed gram pipeline (verified on the executed
+      // adaptive plan: five fp-repartition exchanges). The checkpoint
+      // materializes the bounded pair table once on first action and every
+      // consumer reads the cached RDD; eager=false keeps containmentPairs
+      // lazy (the staged CLI's resume contract builds plans it may never
+      // run).
+      .localCheckpoint(false)
 
     // Attach both token streams and run the per-pair suffix-array kernel.
     // The token state is endpoint-pruned first (same discipline as the
     // incremental path): only docs that appear in a candidate pair need
     // their streams in the join — at 100 TB the full token table is the
-    // corpus itself and must stay out of the exchange.
+    // corpus itself and must stay out of the exchange. Checkpointed for
+    // the same reason as cands (ta and tb would otherwise re-tokenize).
     val ends = cands.select(col("a").as("doc_id"))
       .unionByName(cands.select(col("b").as("doc_id"))).distinct()
     val toksC = toks.toDF().join(ends, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
     val ta = toksC.select(col("doc_id").as("a"), col("tokens").as("toks_a"))
     val tb = toksC.select(col("doc_id").as("b"), col("tokens").as("toks_b"))
     cands.join(ta, "a").join(tb, "b")

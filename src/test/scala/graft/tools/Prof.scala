@@ -261,6 +261,16 @@ object ProfPlans {
     show("pair_collapse_strongest",
       graft.lsh.CandidatePairs.strongest(pairs.unionByName(exact)))
     show("dedup_jaccard_sql", graft.SparkEntry.queries("dedup_jaccard_sql")(spark, d))
+    // suffix pass: the candidate subtree feeds both the endpoint prune and
+    // the verify join — the duplicated gram shuffle must collapse at
+    // runtime (AQE stage reuse; the static plan can't show it, so dump the
+    // EXECUTED adaptive plan and look for ReusedQueryStage/ReusedExchange)
+    val sfxDf = graft.suffix.SuffixPass.containmentPairs(spark,
+      graft.DedupPipeline.distinctByContent(t1), cfg)
+    show("suffix_containment", sfxDf)
+    sfxDf.count()
+    println("########## suffix_containment EXECUTED (adaptive)")
+    println(sfxDf.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }
