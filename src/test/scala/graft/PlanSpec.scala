@@ -70,4 +70,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("bit_count((pa0"), "parity prune missing from the plan")
     assert(p.contains("longarrayequalcount"), "codegen'd est expression missing")
   }
+
+  test("suffix pass: candidate/token checkpoints collapse the gram pipeline to one run") {
+    // the candidate table feeds five subtrees (endpoint set ×2, pruned toks
+    // via ta/tb ×2, verify join ×1); without the lazy localCheckpoints the
+    // EXECUTED adaptive plan carried five fp-repartition exchanges — the
+    // typed gram pipeline ran five times (measured: 46.7 GB shuffle at the
+    // content-weighted shape). The final plan must read the checkpointed
+    // RDDs instead of re-planning any gram shuffle.
+    val cfg = DedupConfig.default
+    val t1 = Ingest.ingest(Ingest.corpusFromDocuments(spark, d))
+    val sfx = suffix.SuffixPass.containmentPairs(
+      spark, DedupPipeline.distinctByContent(t1), cfg)
+    sfx.count() // materialize so executedPlan is the final adaptive plan
+    val p = plan(sfx)
+    assert(!p.contains("REPARTITION_BY_COL"),
+      "gram repartition leaked into the verify plan — candidate checkpoint lost")
+    assert(p.contains("Scan ExistingRDD"), "checkpointed candidate/token scan missing")
+  }
 }
