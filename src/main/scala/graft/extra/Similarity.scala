@@ -329,8 +329,12 @@ object Similarity extends Serializable {
     */
   def lshRecall(spark: SparkSession, sfDir: String, k: Int = 5,
       nQueries: Int = 20): DataFrame = {
+    // lazy localCheckpoint: the tiny brute result feeds two subtrees (the
+    // overlap join + the query spine) — without it the full nQueries ×
+    // corpus cosine cross-join runs twice
     val brute = bruteForceTopK(spark, sfDir, k, nQueries)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(false)
     val lsh = lshTopK(spark, sfDir, k, nQueries)
       .select(col("query_id"), col("neighbor_id"))
     val overlap = brute.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")

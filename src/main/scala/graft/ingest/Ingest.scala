@@ -17,15 +17,22 @@ object Ingest {
   /** Map the driver's `documents.parquet` onto the canonical corpus schema
     * (FIXTURES.md §4): repo←source, path←'doc/'||doc_id, commit←'v0'.
     */
-  def corpusFromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(
-        col("source").as("repo"),
-        concat(lit("doc/"), col("doc_id")).as("path"),
-        lit("v0").as("commit"),
-        col("lang"),
-        col("text").as("content"))
-  }
+  def corpusFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    documentsToCorpus(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** The canonical documents→corpus projection, exposed so callers that
+    * pre-filter the documents table (e.g. the incremental driver queries'
+    * doc_id%k batch slices) share ONE definition — engine doc_ids are
+    * xxhash64 over exactly these columns, and a silently drifted duplicate
+    * projection would make the incr oracles' relabel join drop every row.
+    */
+  def documentsToCorpus(docs: DataFrame): DataFrame =
+    docs.select(
+      col("source").as("repo"),
+      concat(lit("doc/"), col("doc_id")).as("path"),
+      lit("v0").as("commit"),
+      col("lang"),
+      col("text").as("content"))
 
   /** T1: stable ids + per-row invariants. Pure projection — stays inside
     * whole-stage codegen and pushes column pruning into the scan.

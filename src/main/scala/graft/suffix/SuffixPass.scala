@@ -139,14 +139,18 @@ object SuffixPass {
     // A partition-local HashSet over the (sorted, distinct) doc lists
     // collapses the per-run repetition before the exchange — identical
     // emitted SET (dropDuplicates still dedups across partitions/lists);
-    // same corpus drops to ~10⁷ rows. The set is bounded by distinct doc
-    // lists per partition, itself bounded by pair output, not gram count.
+    // same corpus drops to ~10⁷ rows. The dedup is OPPORTUNISTIC — a
+    // duplicate emission is always corrected downstream — so the set is
+    // hard-capped: on a shape with millions of DISTINCT small lists per
+    // partition it clears and keeps streaming instead of accumulating
+    // O(partition pair output) heap.
     val cands = fps
       .repartition(col("fp"))
       .sortWithinPartitions("fp")
       .as[(Long, Long)]
       .mapPartitions { rows =>
         val it = rows.buffered
+        val SeenCap = 1 << 21 // ~2M lists ≈ low hundreds of MB worst case
         val seenLists = new java.util.HashSet[scala.collection.immutable.ArraySeq[Long]]()
         new Iterator[(Long, Long)] {
           private var pending: Iterator[(Long, Long)] = Iterator.empty
@@ -158,6 +162,7 @@ object SuffixPass {
               val docsArr = buf.toArray.distinct
               if (docsArr.length >= 2 && docsArr.length <= dfMax) {
                 java.util.Arrays.sort(docsArr)
+                if (seenLists.size >= SeenCap) seenLists.clear()
                 if (seenLists.add(
                     scala.collection.immutable.ArraySeq.unsafeWrapArray(docsArr))) {
                   pending = for {
