@@ -6,6 +6,13 @@
 # serialization + IPC boundaries instead of living in one shared heap.
 # N = 2 workers x 2 cores (4), 4N = 8 workers x 2 cores (16); interleaved
 # reps, min per config (co-tenant noise protocol, BASELINE.md).
+#
+# Fault-tolerance caveat (ADVICE r4): the suffix pass's localCheckpoint
+# (SuffixPass.scala) truncates lineage into executor-local blocks — fine on
+# local[n] (one JVM) and acceptable here (this box kills no executors), but
+# on a REAL cluster a lost executor fails the stage instead of recomputing.
+# A production deployment should use reliable checkpoints
+# (sparkContext.setCheckpointDir on HDFS/S3) for the suffix candidate table.
 set -e
 cd "$(dirname "$0")/.."
 MULT=${MULT:-100}   # 100 -> 500k docs from sf0.1

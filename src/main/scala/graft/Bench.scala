@@ -64,8 +64,10 @@ object Bench {
         // fine here, unlike on the per-query hot paths
         val ntok = size(split(col("text"), "\\s+"))
         val pads = (1 until lenMult).map { seg =>
+          // sign-safe: abs(Long.MinValue) throws under ANSI (~2^-64/token,
+          // but a corpus build must not be able to abort on it)
           concat_ws(" ", transform(sequence(lit(1), ntok),
-            i => conv(abs(xxhash64(col("doc_id"), lit(seg), i)), 10, 36)))
+            i => conv(shiftrightunsigned(xxhash64(col("doc_id"), lit(seg), i), 1), 10, 36)))
         }
         base0.withColumn("text", concat_ws(" ", col("text") +: pads: _*))
       }
@@ -80,10 +82,11 @@ object Bench {
         val content =
           if (dupMode == "clique") concat(col("text"), lit(" rep"), col("rep"))
           else {
-            // unique junk: one base36 token per original token
+            // unique junk: one base36 token per original token (sign-safe
+            // shift, not abs — see the lenMult pad above)
             val ntok = size(split(col("text"), "\\s+"))
             val junk = transform(sequence(lit(1), ntok),
-              i => conv(abs(xxhash64(col("doc_id"), col("rep"), i)), 10, 36))
+              i => conv(shiftrightunsigned(xxhash64(col("doc_id"), col("rep"), i), 1), 10, 36))
             val nonDup =
               if (dupMode == "interleave")
                 // token-wise interleave: breaks every shingle and run

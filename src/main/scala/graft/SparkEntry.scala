@@ -121,44 +121,82 @@ object SparkEntry {
     * its own `incr_build` entry); a lost build race only orphans a temp
     * dir, and every temp dir self-deletes on JVM exit.
     */
-  private val incrCache =
-    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, String)]
+  /** Memoized-once state build: `lazy val` inside gives each cache entry
+    * single-execution semantics, so two concurrent first callers can both
+    * insert-or-adopt an entry and exactly one build runs (the round-4
+    * check-then-act let both run the expensive 4-batch build).
+    */
+  private final class IncrBuild(f: () => String) { lazy val value: String = f() }
 
-  private def deleteOnExit(dir: String): Unit =
+  private val incrCache =
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, IncrBuild)]
+
+  // ONE shutdown hook draining the temp-dir list (a hook per build was
+  // unbounded across many sfDirs/sessions)
+  private val incrTmpDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+  private lazy val incrHookOnce: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val ch = f.listFiles(); if (ch != null) ch.foreach(rm); f.delete(); ()
       }
-      rm(new java.io.File(dir))
+      incrTmpDirs.forEach(d => rm(new java.io.File(d)))
     }))
+  }
 
-  private def incrState(spark: SparkSession, sfDir: String): String =
-    incrCache.get(sfDir) match {
-      case Some((owner, dir)) if owner eq spark => dir
+  private def deleteOnExit(dir: String): Unit = {
+    incrHookOnce
+    incrTmpDirs.add(dir)
+    ()
+  }
+
+  private def buildIncrState(spark: SparkSession, sfDir: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-state").toString
+    deleteOnExit(dir)
+    // Tuned CHILD session (shared SparkContext, own SQL conf): these driver
+    // batches are ~1.2k docs each, so the wall is FIXED per-job cost, not
+    // compute — AQE's per-stage materialization jobs and 32-way exchanges
+    // of near-empty partitions are pure overhead at this batch size
+    // (measured: 41 s → 25 s for the 4-batch build). Execution-strategy
+    // only: state rows are identical, and the semantics suites
+    // (StreamingSpec) still run processBatch under default sessions. A
+    // production stream sizes these knobs by micro-batch volume; AQE earns
+    // its cost back once a batch is large enough to skew.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val base = s2.read.parquet(s"$sfDir/documents.parquet")
+    def slice(i: Int): DataFrame =
+      Ingest.documentsToCorpus(base.where(pmod(col("doc_id"), lit(4)) === i))
+        // single-file scan = one partition; spread before the kernels
+        .repartition(8)
+    val I = graft.streaming.IncrementalDedup
+    // collectStats = false: the reporting counts are ~3 driver actions
+    // per batch on the fixed-cost floor and nothing here reads them
+    I.processBatch(s2, slice(0), dir, cfg, collectStats = false)
+    I.processBatch(s2, slice(1), dir, cfg, collectStats = false)
+    I.processBatch(s2, slice(2), dir, cfg, collectStats = false)
+    I.compactState(s2, dir) // merges 0–1 into base gen-1, keeps 2
+    require(new java.io.File(s"$dir/docs/batch=-1").exists(),
+      "driver-path compaction was a no-op — the incr oracle would stop covering the base")
+    I.processBatch(s2, slice(3), dir, cfg, collectStats = false)
+    dir
+  }
+
+  private def incrState(spark: SparkSession, sfDir: String): String = {
+    val mine = (spark, new IncrBuild(() => buildIncrState(spark, sfDir)))
+    val entry = incrCache.get(sfDir) match {
+      case Some(e @ (owner, _)) if owner eq spark => e
       case stale =>
         stale.foreach(s => incrCache.remove(sfDir, s))
-        val dir = java.nio.file.Files.createTempDirectory("graft-incr-state").toString
-        deleteOnExit(dir)
-        val base = spark.read.parquet(s"$sfDir/documents.parquet")
-        def slice(i: Int): DataFrame =
-          Ingest.documentsToCorpus(base.where(pmod(col("doc_id"), lit(4)) === i))
-            // single-file scan = one partition; spread before the kernels
-            .repartition(spark.sparkContext.defaultParallelism)
-        val I = graft.streaming.IncrementalDedup
-        // collectStats = false: the reporting counts are ~3 driver actions
-        // per batch on the fixed-cost floor and nothing here reads them
-        I.processBatch(spark, slice(0), dir, cfg, collectStats = false)
-        I.processBatch(spark, slice(1), dir, cfg, collectStats = false)
-        I.processBatch(spark, slice(2), dir, cfg, collectStats = false)
-        I.compactState(spark, dir) // merges 0–1 into base gen-1, keeps 2
-        require(new java.io.File(s"$dir/docs/batch=-1").exists(),
-          "driver-path compaction was a no-op — the incr oracle would stop covering the base")
-        I.processBatch(spark, slice(3), dir, cfg, collectStats = false)
-        incrCache.putIfAbsent(sfDir, (spark, dir)) match {
-          case Some((owner, winner)) if owner eq spark => winner
-          case _ => dir
+        incrCache.putIfAbsent(sfDir, mine) match {
+          case Some(e @ (owner, _)) if owner eq spark => e // lost same-session race
+          case Some(_) => mine // different session owns the slot: build un-cached
+          case None => mine
         }
     }
+    entry._2.value
+  }
 
   /** Shared DuckDB oracle fragment: the SQL-expressible twin of the dedup
     * core (SURVEY §2 row 11's "SQL-only shingle twin"), mirroring ALL THREE
@@ -277,8 +315,10 @@ object SparkEntry {
   }
 
   /** Force-build (and memoize) the incremental-engine state for `sfDir`
-    * (3 processBatch calls + one compactState) — Bench's `incr_build`
-    * entry, for the same attribution reason.
+    * (FOUR processBatch calls with one mid-stream compactState after the
+    * third — the post-compaction append is part of the covered surface, see
+    * [[buildIncrState]]) — Bench's `incr_build` entry, for the same
+    * attribution reason.
     */
   def prewarmIncremental(spark: SparkSession, sfDir: String): Long = {
     incrState(spark, sfDir)
@@ -306,7 +346,7 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
     // ---- incremental engine, driver-oracled (SURVEY §2.8 rows 41/44):
-    // clusters over the APPEND-ONLY streaming state (3 batches + mid-stream
+    // clusters over the APPEND-ONLY streaming state (4 batches + mid-stream
     // compaction, see incrState) must equal the batch answer — checked by
     // the very same DuckDB recursive-CTE twin as dedup_clusters/stats.
     "incr_clusters" -> ((s, d) =>
@@ -522,6 +562,10 @@ object SparkEntry {
     // truth — rows-only (probe-dependent), but the number is tracked in
     // every round's artifacts; SimilaritySpec asserts the recall floor
     "ann_lsh_recall" -> ((s, d) => Similarity.lshRecall(s, d)),
+    // same integer recall surface for the IVF path (round-4 VERDICT item 4):
+    // exactness is oracled by ann_topk_ivf; QUALITY under the default
+    // nlist/nprobe sizing is tracked here
+    "ann_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     // float-free projection (ann_topk_brute precedent) — the IVF path is
     // fully deterministic (√n lowest-id init, one Lloyd step, fixed
     // probes), so a DuckDB twin is expressible; value equality rests on

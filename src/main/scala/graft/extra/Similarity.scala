@@ -349,6 +349,33 @@ object Similarity extends Serializable {
       .orderBy("query_id")
   }
 
+  /** Integer ANN-quality surface for the IVF path — overlap@k of
+    * [[ivfTopK]] (at its default nlist=⌈√n⌉ / nprobe=nlist/4 sizing)
+    * against the exact [[bruteForceTopK]] ground truth, same shape and
+    * rationale as [[lshRecall]]: the oracled `ann_topk_ivf` entry proves
+    * the IVF construction is computed EXACTLY, but a probe-parameter
+    * regression shows up as lost recall, which this query puts in every
+    * round's driver artifacts (with a floor assertion in SimilaritySpec).
+    */
+  def ivfRecall(spark: SparkSession, sfDir: String, k: Int = 5,
+      nQueries: Int = 20): DataFrame = {
+    // lazy localCheckpoint for the same reason as lshRecall: the brute
+    // ground truth feeds both the overlap join and the query spine
+    val brute = bruteForceTopK(spark, sfDir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(false)
+    val ivf = ivfTopK(spark, sfDir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    brute.select("query_id").distinct()
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        lit(k.toLong).as("k"))
+      .orderBy("query_id")
+  }
+
   /** Candidate (query_id, neighbor_id) pairs for the LSH top-k paths.
     *
     * `multiProbe` implements query-side multi-probe (Lv et al., VLDB 2007):

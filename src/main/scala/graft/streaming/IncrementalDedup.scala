@@ -1,13 +1,12 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.DedupPipeline
 import graft.conf.DedupConfig
-import graft.io.ParquetCatalog
 
 /** Incremental / streaming dedup (SURVEY.md §2.8).
   *
@@ -107,6 +106,45 @@ object IncrementalDedup {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Run independent Spark actions on concurrent threads and await all.
+    * The per-batch floor is FIXED job cost (scheduling + parquet commit),
+    * not task compute — overlapping independent write chains halves the
+    * wall without touching what is written. A failure in any task
+    * propagates before the caller reaches its commit marker, so the
+    * exactly-once replay contract is unchanged.
+    */
+  private def inParallel[A](tasks: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = tasks.map(t => Future(t()))
+      fs.map(f => Await.result(f, Duration.Inf))
+    } finally pool.shutdown()
+  }
+
+  private val Debug = sys.env.get("GRAFT_INCR_DEBUG").contains("1")
+  private def timed[A](name: String)(f: => A): A =
+    if (!Debug) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[incr] $name%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+
+  /** Row count of a write job read from an attached [[Observation]] — the
+    * count the batch needs anyway, without a second job over the written
+    * partition.
+    */
+  private def writeCounted(df: DataFrame, dest: String): Long = {
+    val obs = Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(dest)
+    obs.get("n").asInstanceOf[Long]
+  }
+
   private def commit(spark: SparkSession, stateDir: String, id: Long): Unit = {
     val f = fs(spark, stateDir)
     f.mkdirs(new Path(s"$stateDir/_commits"))
@@ -191,7 +229,6 @@ object IncrementalDedup {
       batchId: Long = -1L,
       collectStats: Boolean = true): BatchResult = {
     val tBatch0 = System.nanoTime()
-    val cat = new ParquetCatalog(stateDir)
     val id = if (batchId >= 0) batchId else nextBatchId(spark, stateDir)
     // a compacted-away id must fail LOUDLY: committing fresh docs under an
     // id ≤ base.upto would write state that committedIds filters out
@@ -208,9 +245,12 @@ object IncrementalDedup {
     }
     val done = liveIds(markers)
     if (done.contains(id)) {
-      // replayed batch: state already reflects it
+      // replayed batch: state already reflects it. The docs count is pure
+      // reporting — a collectStats=false stream replay must not pay an
+      // O(state) count job for a sentinel nobody reads.
       return BatchResult(0L,
-        readState(spark, stateDir, "docs", done).map(_.count()).getOrElse(0L))
+        if (!collectStats) -1L
+        else readState(spark, stateDir, "docs", done).map(_.count()).getOrElse(0L))
     }
 
     val docsOld = readState(spark, stateDir, "docs", done)
@@ -221,27 +261,32 @@ object IncrementalDedup {
     // O(corpus) accumulated side down to the batch's hits first" — the
     // accumulated side is never the broadcast candidate and never enters an
     // exchange (scan+filter), same discipline as the band-probe prune.
+    // t1New is PERSISTED rather than round-tripped through a scratch parquet
+    // table (an earlier design wrote + re-read `incoming_t1` every batch —
+    // two extra jobs on the fixed per-batch floor for the same
+    // materialize-once effect the cache gives).
     val t1Raw = graft.ingest.Ingest.ingest(corpusBatch)
       .select("doc_id", "repo", "lang", "content_sha256", "content")
       .dropDuplicates("doc_id")
       .persist()
-    val nRaw = t1Raw.count()
-    val t1Fresh = docsOld match {
+    val t1New = docsOld match {
       case Some(old) =>
+        // nRaw bounds the broadcast decision and must exist BEFORE the prune
+        // plan is built — the one count job the batch cannot fold elsewhere
+        // (first batch skips it: there is nothing to prune against)
+        val nRaw = timed("nRaw.count")(t1Raw.count())
         val oldIdHit = semiPrune(old.select("doc_id"),
           t1Raw.select("doc_id"), Seq("doc_id"), nRaw)
-        antiPrune(t1Raw, oldIdHit, Seq("doc_id"), nRaw)
+        antiPrune(t1Raw, oldIdHit, Seq("doc_id"), nRaw).persist()
       case None => t1Raw
     }
-    cat.write(t1Fresh, "incoming_t1") // scratch, overwritten every batch
-    t1Raw.unpersist(blocking = false)
-    val t1New = cat.read(spark, "incoming_t1")
 
-    t1New.select("doc_id", "content_sha256")
-      .write.mode("overwrite").parquet(s"$stateDir/docs/batch=$id")
-    // parquet metadata count: this batch's doc count, reused as the upper
-    // bound for every broadcast-vs-shuffle prune decision below
-    val nNew = spark.read.parquet(s"$stateDir/docs/batch=$id").count()
+    // the write materializes the t1New cache; its attached observation IS
+    // this batch's doc count (reused as the upper bound for every
+    // broadcast-vs-shuffle prune decision below) — no follow-up count job
+    val nNew = timed("docs.write")(writeCounted(t1New.select("doc_id", "content_sha256"),
+      s"$stateDir/docs/batch=$id"))
+    if (t1New ne t1Raw) t1Raw.unpersist(blocking = false)
 
     // First carrier per previously-unseen sha (min doc_id within the batch)
     // — the only docs that enter LSH/suffix state. Docs whose sha is already
@@ -255,24 +300,70 @@ object IncrementalDedup {
         antiPrune(t1New, oldShaHit, Seq("content_sha256"), nNew)
       case None => t1New
     }
+    // persisted: the LSH chain (signatures) and the suffix chain (tokens)
+    // both start from the reps — without the cache each chain re-runs the
+    // sha-group shuffle. The chains race to materialize it; a partition
+    // computed twice is cached once (Spark cache semantics), which costs at
+    // most what the uncached design always paid.
     val repsNew = newShaDocs.join(
       newShaDocs.groupBy("content_sha256").agg(min("doc_id").as("doc_id")),
       Seq("content_sha256", "doc_id"))
+      .persist()
 
+    // The three state-building chains are INDEPENDENT until the commit
+    // marker (disjoint tables: signatures/bands/band_counts/lsh_pairs vs
+    // toks/grams/gram_counts/sfx_pairs vs exact_pairs) — run them
+    // concurrently so their fixed per-job costs overlap (the measured
+    // 8–10 s/batch floor was ~17 SEQUENTIAL driver-coordinated jobs).
+    val results = inParallel(Seq(
+      () => { lshIncrement(spark, stateDir, repsNew, done, id, nNew, cfg); 0L },
+      () => suffixIncrement(spark, stateDir, repsNew, done, id, cfg, collectStats),
+      () => { exactIncrement(spark, stateDir, t1New, docsOld, nNew, id); 0L }
+    ))
+    val newSfxPairs = results(1)
+    repsNew.unpersist(blocking = false)
+    if (t1New ne t1Raw) t1New.unpersist(blocking = false)
+    else t1Raw.unpersist(blocking = false)
+
+    val newPairCount =
+      if (!collectStats) -1L
+      else spark.read.parquet(s"$stateDir/lsh_pairs/batch=$id").select("a", "b")
+        .unionByName(spark.read.parquet(s"$stateDir/exact_pairs/batch=$id"))
+        .distinct().count()
+
+    commit(spark, stateDir, id)
+    timed("lineage")(recordBatchLineage(spark, stateDir, s"batch=$id", s"incr-$id", cfg.fingerprint,
+      (System.nanoTime() - tBatch0) / 1000000L, docRows = nNew))
+    val totalDocs =
+      if (!collectStats) -1L
+      else readState(spark, stateDir, "docs", done, alsoBatch = id)
+        .map(_.count()).getOrElse(0L)
+    BatchResult(newPairCount, totalDocs, newSfxPairs)
+  }
+
+  /** LSH chain of one micro-batch: sign + band the new reps, append their
+    * signature/band/band-count partitions, generate candidates against the
+    * pruned accumulated band state under the running stop cap, verify, and
+    * append the verified pairs with (band, band_hash) provenance. Tables
+    * touched: `signatures`, `bands`, `band_counts`, `lsh_pairs` — disjoint
+    * from the suffix and exact chains, so processBatch runs the three
+    * concurrently.
+    */
+  private def lshIncrement(spark: SparkSession, stateDir: String,
+      repsNew: DataFrame, done: Seq[Long], id: Long, nNew: Long,
+      cfg: DedupConfig): Unit = {
     val sigsNew = DedupPipeline.signatures(spark, repsNew, cfg)
     // append-only writes: ONLY this batch's partition is touched
-    sigsNew.write.mode("overwrite").parquet(s"$stateDir/signatures/batch=$id")
+    timed("sigs.write")(sigsNew.write.mode("overwrite").parquet(s"$stateDir/signatures/batch=$id"))
     val sigsNewD = spark.read.parquet(s"$stateDir/signatures/batch=$id")
     val bandsNew = graft.lsh.Banding.bandRows(sigsNewD, cfg)
-    bandsNew.write.mode("overwrite").parquet(s"$stateDir/bands/batch=$id")
+    timed("bands.write")(bandsNew.write.mode("overwrite").parquet(s"$stateDir/bands/batch=$id"))
 
     val bandsNewD = spark.read.parquet(s"$stateDir/bands/batch=$id")
     // running band counts: this batch's per-key counts land in their own
     // append-only partition, exactly like bands/signatures
-    bandsNewD.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(s"$stateDir/band_counts/batch=$id")
-
-    val newSfxPairs = suffixIncrement(spark, stateDir, repsNew, done, id, cfg, collectStats)
+    timed("bcounts.write")(bandsNewD.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$stateDir/band_counts/batch=$id"))
 
     val bandsAll = readState(spark, stateDir, "bands", done, alsoBatch = id).get
       .select("band", "band_hash", "doc_id")
@@ -307,7 +398,7 @@ object IncrementalDedup {
         col("band"), col("band_hash"))
       .distinct()
       .persist()
-    val nProv = prov.count()
+    val nProv = timed("lshprov.count")(prov.count())
 
     val lshCands = graft.lsh.CandidatePairs.strongest(
       prov.select(col("a"), col("b"),
@@ -320,11 +411,17 @@ object IncrementalDedup {
     val sigsCand = semiPrune(sigsAll, ends, Seq("doc_id"), 2 * nProv)
     val verifiedLsh = graft.verify.Verifier.verifyLshPairs(lshCands, sigsCand, cfg)
 
-    prov.join(verifiedLsh.select("a", "b", "est_jaccard", "src"), Seq("a", "b"))
-      .write.mode("overwrite").parquet(s"$stateDir/lsh_pairs/batch=$id")
+    timed("lshpairs.write")(prov.join(verifiedLsh.select("a", "b", "est_jaccard", "src"), Seq("a", "b"))
+      .write.mode("overwrite").parquet(s"$stateDir/lsh_pairs/batch=$id"))
     prov.unpersist(blocking = false)
+  }
 
-    // exact-dup edges: within-batch star + one cross-batch glue per sha
+  /** Exact-dup chain of one micro-batch: within-batch star + one cross-batch
+    * glue edge per sha (see the object scaladoc — O(k) edges per sha group,
+    * never a new×all-old join). Touches only `exact_pairs`.
+    */
+  private def exactIncrement(spark: SparkSession, stateDir: String,
+      t1New: DataFrame, docsOld: Option[DataFrame], nNew: Long, id: Long): Unit = {
     val newMin = t1New.groupBy("content_sha256").agg(min("doc_id").as("nm"))
     val withinBatch = t1New.select(col("content_sha256"), col("doc_id"))
       .join(newMin, "content_sha256")
@@ -339,23 +436,8 @@ object IncrementalDedup {
           .select(least(col("nm"), col("pr")).as("a"), greatest(col("nm"), col("pr")).as("b"))
       case None => withinBatch.limit(0)
     }
-    withinBatch.unionByName(glue)
-      .write.mode("overwrite").parquet(s"$stateDir/exact_pairs/batch=$id")
-
-    val newPairCount =
-      if (!collectStats) -1L
-      else spark.read.parquet(s"$stateDir/lsh_pairs/batch=$id").select("a", "b")
-        .unionByName(spark.read.parquet(s"$stateDir/exact_pairs/batch=$id"))
-        .distinct().count()
-
-    commit(spark, stateDir, id)
-    recordBatchLineage(spark, stateDir, s"batch=$id", s"incr-$id", cfg.fingerprint,
-      (System.nanoTime() - tBatch0) / 1000000L, docRows = nNew)
-    val totalDocs =
-      if (!collectStats) -1L
-      else readState(spark, stateDir, "docs", done, alsoBatch = id)
-        .map(_.count()).getOrElse(0L)
-    BatchResult(newPairCount, totalDocs, newSfxPairs)
+    timed("exact.write")(withinBatch.unionByName(glue)
+      .write.mode("overwrite").parquet(s"$stateDir/exact_pairs/batch=$id"))
   }
 
   /** One lineage row per state table per committed batch / compaction
@@ -402,25 +484,23 @@ object IncrementalDedup {
 
     val toksNew = graft.suffix.SuffixPass.tokenDocs(spark, repsNew, cfg)
       .filter(_.tokens.length >= minLen) // can't hold a minLen run otherwise
-    toksNew.toDF().write.mode("overwrite").parquet(s"$stateDir/toks/batch=$id")
+    timed("toks.write")(toksNew.toDF().write.mode("overwrite").parquet(s"$stateDir/toks/batch=$id"))
     val toksNewD = spark.read.parquet(s"$stateDir/toks/batch=$id")
 
-    toksNewD.select(col("doc_id"), col("tokens")).as[(Long, Array[Long])]
-      .flatMap { case (d, tk) =>
-        graft.suffix.SuffixPass.grams(tk, minLen).map(fp => (fp, d))
-      }
-      .toDF("fp", "doc_id")
-      .write.mode("overwrite").parquet(s"$stateDir/grams/batch=$id")
+    // the gram-key volume bound rides the write job's observation (grams
+    // scale with TOKENS, not docs, so a doc bound would be wildly wrong
+    // here — and a follow-up count job is a job the fixed floor can't spare)
+    val nGramRows = timed("grams.write")(writeCounted(
+      toksNewD.select(col("doc_id"), col("tokens")).as[(Long, Array[Long])]
+        .flatMap { case (d, tk) =>
+          graft.suffix.SuffixPass.grams(tk, minLen).map(fp => (fp, d))
+        }
+        .toDF("fp", "doc_id"),
+      s"$stateDir/grams/batch=$id"))
     val gramsNewD = spark.read.parquet(s"$stateDir/grams/batch=$id")
     // grams() emits distinct grams per doc, so count(*) = docs-per-gram
-    gramsNewD.groupBy("fp").agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(s"$stateDir/gram_counts/batch=$id")
-
-    // probe-side prune + running df-cap, same shape as the band join. The
-    // gram-key volume bound is metadata-exact (row count of the just-written
-    // partition): gram fingerprints scale with TOKENS, not docs, so a doc
-    // bound would be wildly wrong here.
-    val nGramRows = spark.read.parquet(s"$stateDir/grams/batch=$id").count()
+    timed("gcounts.write")(gramsNewD.groupBy("fp").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$stateDir/gram_counts/batch=$id"))
     val newFps = gramsNewD.select("fp").distinct()
     val hotFps = semiPrune(
         readState(spark, stateDir, "gram_counts", done, alsoBatch = id).get,
@@ -443,7 +523,7 @@ object IncrementalDedup {
       .select(least(col("n"), col("m")).as("a"), greatest(col("n"), col("m")).as("b"), col("fp"))
       .distinct()
       .persist()
-    val nProv = prov.count()
+    val nProv = timed("sfxprov.count")(prov.count())
 
     // verify each distinct pair once; token streams attach endpoint-pruned
     // (guarded — a boilerplate-heavy batch can push the candidate endpoint
@@ -467,8 +547,8 @@ object IncrementalDedup {
       })
       .toDF("a", "b")
 
-    prov.join(verifiedSfx, Seq("a", "b"), "left_semi")
-      .write.mode("overwrite").parquet(s"$stateDir/sfx_pairs/batch=$id")
+    timed("sfxpairs.write")(prov.join(verifiedSfx, Seq("a", "b"), "left_semi")
+      .write.mode("overwrite").parquet(s"$stateDir/sfx_pairs/batch=$id"))
     prov.unpersist(blocking = false)
     if (!collectStats) -1L
     else spark.read.parquet(s"$stateDir/sfx_pairs/batch=$id")
@@ -536,7 +616,9 @@ object IncrementalDedup {
     val f = fs(spark, stateDir)
     val tmpRoot = s"$stateDir/_compact_tmp"
     f.delete(new Path(tmpRoot), true)
-    StateTables.foreach { t =>
+    // one staging write per table, all independent → overlap their fixed
+    // job costs (same lever as processBatch's concurrent chains)
+    inParallel(StateTables.map { t => () =>
       readState(spark, stateDir, t, ids).foreach { df =>
         val merged = t match {
           case "band_counts" =>
@@ -547,7 +629,7 @@ object IncrementalDedup {
         }
         merged.write.mode("overwrite").parquet(s"$tmpRoot/$t")
       }
-    }
+    })
     if (failBeforeMarker) return
     StateTables.foreach { t =>
       val staged = new Path(s"$tmpRoot/$t")
@@ -673,19 +755,30 @@ object IncrementalDedup {
 
   /** Streaming entry: parquet file stream → foreachBatch incremental, with
     * the engine's batch id threaded through for replay detection.
+    *
+    * @param maxFilesPerTrigger bound files per micro-batch (None = Spark
+    *        default, all available) — lets tests drive one epoch per file
+    * @param onBatchDone test seam invoked AFTER the engine commit marker is
+    *        durable but BEFORE the streaming checkpoint commits the epoch;
+    *        throwing here reproduces exactly the crash window the
+    *        latest-epoch replay guarantee covers (see [[compactState]])
     */
   def startStream(
       spark: SparkSession,
       inputDir: String,
       schema: org.apache.spark.sql.types.StructType,
       stateDir: String,
-      cfg: DedupConfig = DedupConfig.default): StreamingQuery = {
-    spark.readStream
-      .schema(schema)
+      cfg: DedupConfig = DedupConfig.default,
+      maxFilesPerTrigger: Option[Int] = None,
+      onBatchDone: Long => Unit = _ => ()): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        processBatch(spark, batch, stateDir, cfg, id); ()
+        processBatch(spark, batch, stateDir, cfg, id)
+        onBatchDone(id)
       }
       .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
       .start()

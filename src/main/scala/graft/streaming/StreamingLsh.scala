@@ -33,8 +33,10 @@ import graft.model.{BandRow, BucketState, ProvPair}
   *    sha-distinct input streams. Exact-duplicate docs inflate a bucket's
   *    count toward the cap; once tombstoned, pairs the rep-only batch count
   *    would still emit are never emitted and retroLive cannot resurrect
-  *    them. Dedup by content_sha256 upstream (as IncrementalDedup does with
-  *    its first-carrier reps) when the stream can carry exact duplicates.
+  *    them. Pass `dedupBySha = true` when the stream can carry exact
+  *    duplicates — it inserts a first-carrier dedup stage (the enforcement
+  *    of this precondition, not just a caveat); callers already feeding
+  *    sha-distinct docs (IncrementalDedup's reps) skip the extra state.
   *  - emitted pairs are NOT deduped across buckets in-stream (that would
   *    need a second stateful stage); downstream `dropDuplicates("a","b")`
   *    or the periodic full recluster does it, same as the batch union.
@@ -46,13 +48,19 @@ import graft.model.{BandRow, BucketState, ProvPair}
   */
 object StreamingLsh {
 
-  /** Corpus stream → banded signature rows (stateless, kernel-identical to
-    * the batch path).
+  /** Corpus stream → banded signature rows (stateless unless
+    * `dedupBySha` — see [[candidateStream]]).
     */
-  def bandStream(spark: SparkSession, corpusStream: DataFrame, cfg: DedupConfig): Dataset[BandRow] = {
+  def bandStream(spark: SparkSession, corpusStream: DataFrame, cfg: DedupConfig,
+      dedupBySha: Boolean = false): Dataset[BandRow] = {
     import spark.implicits._
     val t1 = graft.ingest.Ingest.ingest(corpusStream)
-    val sigs = DedupPipeline.signatures(spark, t1, cfg)
+    // first-carrier dedup: streaming dropDuplicates keeps one row per
+    // previously-unseen content_sha256 (IncrementalDedup's rep discipline,
+    // as a stateful stage). Unbounded sha state by design — the bucket
+    // state below is unbounded over distinct content too.
+    val t1In = if (dedupBySha) t1.dropDuplicates("content_sha256") else t1
+    val sigs = DedupPipeline.signatures(spark, t1In, cfg)
     graft.lsh.Banding.bandRows(sigs, cfg)
       .select(col("doc_id"), col("band"), col("band_hash")).as[BandRow]
   }
@@ -60,13 +68,22 @@ object StreamingLsh {
   /** Stateful candidate emission: (band, band_hash) buckets held in typed
     * group state; each micro-batch emits new×seen ∪ new×new pairs per
     * bucket, with the stop cap enforced on the stored membership.
+    *
+    * `dedupBySha = true` ENFORCES the sha-distinct input precondition (see
+    * the object scaladoc caveat) instead of documenting it: a first-carrier
+    * dedup stage upstream makes bucket counts per-CONTENT, so exact-dup
+    * floods cannot tombstone a bucket the rep-only batch count would keep.
+    * Off by default only because a caller may already feed sha-distinct
+    * docs (e.g. IncrementalDedup reps) and must not pay a second state
+    * store for it.
     */
   def candidateStream(spark: SparkSession, corpusStream: DataFrame,
-      cfg: DedupConfig = DedupConfig.default): Dataset[ProvPair] = {
+      cfg: DedupConfig = DedupConfig.default,
+      dedupBySha: Boolean = false): Dataset[ProvPair] = {
     import spark.implicits._
     val stopCap = cfg.stopBandSize
     val nMinhashBands = cfg.bands
-    bandStream(spark, corpusStream, cfg)
+    bandStream(spark, corpusStream, cfg, dedupBySha)
       .groupByKey(r => (r.band, r.band_hash))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) =>

@@ -151,7 +151,21 @@ object SuffixPass {
       .mapPartitions { rows =>
         val it = rows.buffered
         val SeenCap = 1 << 21 // ~2M lists ≈ low hundreds of MB worst case
-        val seenLists = new java.util.HashSet[scala.collection.immutable.ArraySeq[Long]]()
+        // Insertion-order LRU, not clear()-on-full: gram fps of one shared
+        // run are scattered across the fp-sorted scan, so a full clear right
+        // when the partition holds millions of distinct small lists throws
+        // away every accumulated list at once and the dedup rate collapses
+        // exactly when the pair exchange is largest. Evicting only the
+        // eldest entry degrades gracefully (recent lists — the ones still
+        // being re-emitted — stay resident). Dedup remains opportunistic:
+        // an evicted list re-emits and dropDuplicates corrects it.
+        val seenLists = java.util.Collections.newSetFromMap(
+          new java.util.LinkedHashMap[scala.collection.immutable.ArraySeq[Long], java.lang.Boolean](
+              1 << 10, 0.75f) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[scala.collection.immutable.ArraySeq[Long], java.lang.Boolean]): Boolean =
+              size() > SeenCap
+          })
         new Iterator[(Long, Long)] {
           private var pending: Iterator[(Long, Long)] = Iterator.empty
           private def advance(): Unit = {
@@ -162,7 +176,6 @@ object SuffixPass {
               val docsArr = buf.toArray.distinct
               if (docsArr.length >= 2 && docsArr.length <= dfMax) {
                 java.util.Arrays.sort(docsArr)
-                if (seenLists.size >= SeenCap) seenLists.clear()
                 if (seenLists.add(
                     scala.collection.immutable.ArraySeq.unsafeWrapArray(docsArr))) {
                   pending = for {

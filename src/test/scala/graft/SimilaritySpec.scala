@@ -79,6 +79,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.35, s"aggregate overlap@5: $recall")
   }
 
+  test("ivfRecall surface: total row per query, aggregate floor holds") {
+    val rows = Similarity.ivfRecall(spark, sfDir, k = 5, nQueries = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length === 10, "every query must emit a row (recall-0 included)")
+    assert(rows.forall { case (_, ov, k) => ov >= 0 && ov <= k })
+    val recall = rows.map(_._2).sum.toDouble / rows.map(_._3).sum
+    // same floor as the direct IVF-vs-brute test below
+    assert(recall >= 0.5, s"aggregate overlap@5: $recall")
+  }
+
   test("IVF top-k recall vs brute force") {
     val brute = Similarity.bruteForceTopK(spark, sfDir, k = 5, nQueries = 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

@@ -87,6 +87,48 @@ class StreamingLshSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("dedupBySha enforces the sha-distinct precondition: exact-dup flood no longer under-emits") {
+    implicit val sqlCtx = spark.sqlContext
+    // 20 byte-identical copies of content A + one genuine near-dup B.
+    // Per-DOC bucket counting (the documented caveat): every A-bucket holds
+    // 21 > cap → tombstoned, the true (A, B) near-dup pair is LOST. With
+    // dedupBySha only A's first carrier is banded → bucket size 2 → the
+    // pair the rep-only batch pipeline finds is emitted.
+    val tiny = cfg.copy(stopBandSize = 10, maxBandSize = 5)
+    val contentA = (0 until 150).map(i => s"tok$i").mkString(" ")
+    val contentB = contentA + " zz"
+    val docs = (0 until 20).map(i => CorpusRow("r", s"a$i.txt", "c", "en", contentA)) :+
+      CorpusRow("r", "b.txt", "c", "en", contentB)
+
+    def run(name: String, dedup: Boolean): Set[(Long, Long)] = {
+      val input = MemoryStream[CorpusRow]
+      val q = StreamingLsh.candidateStream(spark, input.toDF(), tiny, dedupBySha = dedup)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try { input.addData(docs); q.processAllAvailable() } finally q.stop()
+      spark.table(name).select("a", "b").as[(Long, Long)].collect().toSet
+    }
+
+    assert(run("lsh_dup_raw", dedup = false).isEmpty,
+      "per-doc counting must tombstone the flooded buckets (the caveat being enforced)")
+
+    val deduped = run("lsh_dup_sha", dedup = true)
+    // compare in CONTENT space (stream reps are first carriers, batch reps
+    // are min ids — same discipline as StreamingSpec)
+    val t1 = ingest.Ingest.ingest(
+      spark.createDataFrame(docs).select("repo", "path", "commit", "lang", "content"))
+    val shaOf = t1.select($"doc_id", $"content_sha256").as[(Long, String)].collect().toMap
+    def shaPairs(ps: Set[(Long, Long)]) = ps.map { case (a, b) =>
+      val (x, y) = (shaOf(a), shaOf(b)); if (x <= y) (x, y) else (y, x)
+    }
+    val reps = DedupPipeline.distinctByContent(t1)
+    val (batchPairs, _) = lsh.CandidatePairs.generate(
+      spark, lsh.Banding.bandRows(DedupPipeline.signatures(spark, reps, tiny), tiny), tiny)
+    val expected = shaPairs(batchPairs.select("a", "b").as[(Long, Long)].collect().toSet)
+    assert(expected.nonEmpty, "scenario broken: rep-only batch must find the (A, B) pair")
+    assert(shaPairs(deduped) === expected)
+  }
+
   test("stop cap tombstones a hot bucket: no quadratic state, no emissions past the cap") {
     implicit val sqlCtx = spark.sqlContext
     // 30 identical docs → identical signatures → every bucket is hot under

@@ -402,6 +402,77 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("streaming restart from checkpoint: crash after engine commit, compaction mid-stream") {
+    // The END-TO-END scenario the compaction replay guarantee was designed
+    // for (round-4 VERDICT item 2), through the REAL Structured Streaming
+    // recovery path, not simulated ids: ≥4 epochs commit via a file stream,
+    // compactState runs mid-stream, then the stream crashes in the exact
+    // window where the ENGINE marker for the newest epoch is durable but
+    // the STREAMING checkpoint's epoch commit is not. The restart must
+    // replay that epoch from the checkpoint, hit the committed marker,
+    // no-op — and land on the batch pipeline's clusters.
+    val stateDir = Files.createTempDirectory("graft-stream-restart").toString
+    val inDir = Files.createTempDirectory("graft-stream-restart-in").toString
+    val parts = corpus.grouped((corpus.size + 4) / 5).toSeq // 5 epochs
+    def df(chunk: Seq[graft.model.CorpusRow]) =
+      spark.createDataFrame(chunk).select("repo", "path", "commit", "lang", "content")
+    val schema = df(parts.head).schema
+    // one file per chunk + maxFilesPerTrigger=1 → one epoch per chunk
+    parts.take(4).zipWithIndex.foreach { case (c, i) =>
+      df(c).coalesce(1).write.mode("append").parquet(inDir)
+    }
+
+    val q1 = IncrementalDedup.startStream(spark, inDir, schema, stateDir, cfg,
+      maxFilesPerTrigger = Some(1))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(s"$stateDir/docs").count() === parts.take(4).map(_.size).sum.toLong)
+
+    // mid-stream compaction between epochs (single-writer discipline):
+    // epochs 0..2 merge into the gen-1 base, epoch 3 — the newest committed
+    // batch, the one a restart may replay — stays un-superseded
+    IncrementalDedup.compactState(spark, stateDir)
+    assert(new java.io.File(s"$stateDir/docs/batch=-1").exists())
+
+    // epoch 4 arrives; crash AFTER its engine commit marker is durable but
+    // BEFORE the checkpoint commits the epoch (onBatchDone throws)
+    df(parts(4)).coalesce(1).write.mode("append").parquet(inDir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = IncrementalDedup.startStream(spark, inDir, schema, stateDir, cfg,
+      maxFilesPerTrigger = Some(1),
+      onBatchDone = { id => seen.synchronized { seen += id }
+        sys.error(s"injected crash after engine commit of epoch $id") })
+    val crashed =
+      try intercept[Exception] { q2.processAllAvailable(); q2.awaitTermination() }
+      finally { if (q2.isActive) q2.stop() }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(crashed).exists(_.contains("injected crash")),
+      s"unexpected failure: ${messages(crashed)}")
+    val crashedEpoch = seen.synchronized(seen.toList)
+    assert(crashedEpoch === List(4L), s"expected exactly epoch 4 to commit+crash: $crashedEpoch")
+    assert(new java.io.File(s"$stateDir/_commits/batch-4").exists(),
+      "scenario broken: the engine marker must be durable before the crash")
+
+    // restart from the checkpoint: epoch 4 replays, hits its marker, no-ops
+    val replayed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q3 = IncrementalDedup.startStream(spark, inDir, schema, stateDir, cfg,
+      maxFilesPerTrigger = Some(1),
+      onBatchDone = { id => replayed.synchronized { replayed += id }; () })
+    try q3.processAllAvailable() finally q3.stop()
+    assert(replayed.synchronized(replayed.toList) === List(4L),
+      s"restart must replay exactly the crashed epoch: ${replayed.toList}")
+
+    // no lost or duplicated docs, and the final clusters == one batch run
+    assert(spark.read.parquet(s"$stateDir/docs").count() === corpus.size.toLong)
+    assert(spark.read.parquet(s"$stateDir/docs").select("doc_id").distinct().count()
+      === corpus.size.toLong)
+    val batchClusters = DedupPipeline.run(spark, ingest.Ingest.ingest(df(corpus)), cfg)
+      .clusters.as[(Long, Long)].collect().toMap
+    val incClusters = IncrementalDedup.clusters(spark, stateDir, cfg)
+      .as[(Long, Long)].collect().toMap
+    assert(incClusters === batchClusters)
+  }
+
   test("streaming query over a parquet file stream drives the same state") {
     val stateDir = Files.createTempDirectory("graft-stream2").toString
     val inDir = Files.createTempDirectory("graft-stream-in").toString
