@@ -55,7 +55,12 @@ object Bench {
     */
   def benchCorpus(spark: SparkSession, sfDir: String, mult: Int, dupMode: String = "mixed",
       lenMult: Int = 1): DataFrame = {
+    // single small parquet file = ONE scan partition: spread BEFORE the
+    // pad/replicate transforms or the whole corpus construction runs on one
+    // core (measured 89 s single-task at MULT=10 × LENMULT=32 — pure
+    // harness overhead ahead of every timed run)
     val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
     val base =
       if (lenMult <= 1) base0
       else {

@@ -166,22 +166,45 @@ object SuffixPass {
                 e: java.util.Map.Entry[scala.collection.immutable.ArraySeq[Long], java.lang.Boolean]): Boolean =
               size() > SeenCap
           })
+        // Allocation-light group scan: at content-weighted doc lengths the
+        // partition holds tens of millions of gram groups, the vast
+        // majority singletons (a unique gram per position) — a per-group
+        // ArrayBuffer + toArray + distinct costs ~6 heap objects per group
+        // and was measured as 10s of seconds of pure GC in this stage.
+        // One reusable long buffer + in-place sort/dedupe allocates only
+        // for groups that actually emit (df ∈ [2, dfMax]); semantics
+        // (sorted distinct doc list per gram, df-cap, seen-list dedup,
+        // emitted pair set) are identical.
         new Iterator[(Long, Long)] {
+          private var buf = new Array[Long](64)
           private var pending: Iterator[(Long, Long)] = Iterator.empty
           private def advance(): Unit = {
             while (!pending.hasNext && it.hasNext) {
               val fp = it.head._1
-              val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-              while (it.hasNext && it.head._1 == fp) buf += it.next()._2
-              val docsArr = buf.toArray.distinct
-              if (docsArr.length >= 2 && docsArr.length <= dfMax) {
-                java.util.Arrays.sort(docsArr)
-                if (seenLists.add(
-                    scala.collection.immutable.ArraySeq.unsafeWrapArray(docsArr))) {
-                  pending = for {
-                    x <- docsArr.indices.iterator
-                    y <- (x + 1 until docsArr.length).iterator
-                  } yield (docsArr(x), docsArr(y))
+              var n = 0
+              while (it.hasNext && it.head._1 == fp) {
+                if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+                buf(n) = it.next()._2
+                n += 1
+              }
+              if (n >= 2) { // singleton fast-path: no sort, no allocation
+                java.util.Arrays.sort(buf, 0, n)
+                var w = 1 // in-place dedupe of the sorted prefix
+                var r = 1
+                while (r < n) {
+                  if (buf(r) != buf(w - 1)) { buf(w) = buf(r); w += 1 }
+                  r += 1
+                }
+                if (w >= 2 && w <= dfMax) {
+                  // copy out: the seen-set key must not alias the reused buffer
+                  val docsArr = java.util.Arrays.copyOf(buf, w)
+                  if (seenLists.add(
+                      scala.collection.immutable.ArraySeq.unsafeWrapArray(docsArr))) {
+                    pending = for {
+                      x <- docsArr.indices.iterator
+                      y <- (x + 1 until docsArr.length).iterator
+                    } yield (docsArr(x), docsArr(y))
+                  }
                 }
               }
             }
@@ -192,15 +215,20 @@ object SuffixPass {
       }
       .dropDuplicates()
       .toDF("a", "b")
-      // LAZY local checkpoint: the candidate table feeds FIVE subtrees
-      // below (2× in ends, 2× via toksC in ta/tb, 1× in the verify join)
-      // and neither plan-time ReuseExchange nor AQE stage reuse collapses
-      // the duplicated typed gram pipeline (verified on the executed
-      // adaptive plan: five fp-repartition exchanges). The checkpoint
-      // materializes the bounded pair table once on first action and every
-      // consumer reads the cached RDD; eager=false keeps containmentPairs
-      // lazy (the staged CLI's resume contract builds plans it may never
-      // run).
+      // Local checkpoint: the candidate table feeds FIVE subtrees below
+      // (2× in ends, 2× via toksC in ta/tb, 1× in the verify join) and
+      // neither plan-time ReuseExchange nor AQE stage reuse collapses the
+      // duplicated typed gram pipeline (verified on the executed adaptive
+      // plan: five fp-repartition exchanges). The checkpoint materializes
+      // the bounded pair table once and every consumer reads the cached
+      // RDD. NOTE (measured round 5): under AQE this is NOT construction-
+      // lazy even with eager=false — Dataset.localCheckpoint calls
+      // queryExecution.toRdd, which forces the adaptive plan and EXECUTES
+      // every upstream query stage right here (the gram shuffle + group
+      // scan run when containmentPairs is CALLED, before any action on its
+      // result). Callers that may skip the suffix pass must defer the call
+      // itself, as the staged CLI does by constructing inside the stage
+      // closure; eager=false only avoids the extra final count job.
       .localCheckpoint(false)
 
     // Attach both token streams and run the per-pair suffix-array kernel.

@@ -68,11 +68,18 @@ object ProfE2E {
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
-        stages.put(si.stageId, (si.name.split("\n").head.take(90), dur, si.numTasks.toLong))
+        val m = si.taskMetrics
+        val det = f"cpu=${m.executorCpuTime / 1e9}%.0f s run=${m.executorRunTime / 1e3}%.0f s " +
+          f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%.0f MB " +
+          f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.0f MB " +
+          f"spill=${m.diskBytesSpilled / 1e6}%.0f MB gc=${m.jvmGCTime / 1e3}%.0f s"
+        stages.put(si.stageId, (si.name.split("\n").head.take(60) + "  " + det, dur, si.numTasks.toLong))
       }
     })
     val mult = sys.env.getOrElse("P_MULT", "20").toInt
-    val t1 = graft.Bench.benchT1(spark, "/root/testdata/sf0.1", mult)
+    val dupMode = sys.env.getOrElse("P_DUPMODE", "mixed")
+    val lenMult = sys.env.getOrElse("P_LENMULT", "1").toInt
+    val t1 = graft.Bench.benchT1(spark, "/root/testdata/sf0.1", mult, dupMode, lenMult)
       .repartition(cpus.toInt * 2).persist()
     println(s"docs=${t1.count()}")
     val t0 = System.nanoTime()
@@ -102,6 +109,7 @@ object ProfPhases {
     spark.sparkContext.setLogLevel("WARN")
     val cfg = graft.conf.DedupConfig.default
     import org.apache.spark.sql.functions._
+    val prof0 = System.currentTimeMillis()
     val shufWrite = new java.util.concurrent.atomic.AtomicLong()
     val shufRead = new java.util.concurrent.atomic.AtomicLong()
     val cpuNs = new java.util.concurrent.atomic.AtomicLong()
@@ -119,9 +127,25 @@ object ProfPhases {
       val wall = (System.nanoTime() - t0) / 1e9
       // listener events drain asynchronously; give them a beat
       Thread.sleep(300)
-      println(f"phase $name: $wall%.1f s  shufW=${(shufWrite.get - w0) / 1e6}%.0f MB shufR=${(shufRead.get - r0) / 1e6}%.0f MB cpu=${(cpuNs.get - c0) / 1e9}%.1f s")
+      println(f"phase $name: $wall%.1f s  [t=${(System.currentTimeMillis() - prof0) / 1e3}%.0f] shufW=${(shufWrite.get - w0) / 1e6}%.0f MB shufR=${(shufRead.get - r0) / 1e6}%.0f MB cpu=${(cpuNs.get - c0) / 1e9}%.1f s")
       r
     }
+    // top-stage dump (same detail as ProfE2E) to catch work that lands in
+    // the wrong phase window via AQE's async stage materialization
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        val m = si.taskMetrics
+        val det = f"sub=${(si.submissionTime.getOrElse(0L) - prof0) / 1e3}%.0f done=${(si.completionTime.getOrElse(0L) - prof0) / 1e3}%.0f " +
+          f"cpu=${m.executorCpuTime / 1e9}%.0f s " +
+          f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%.0f MB " +
+          f"shufW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.0f MB " +
+          f"spill=${m.diskBytesSpilled / 1e6}%.0f MB gc=${m.jvmGCTime / 1e3}%.0f s"
+        stages.put(si.stageId, (f"${si.name.split("\n").head.take(40)}  $det", dur))
+      }
+    })
     val mult = sys.env.getOrElse("P_MULT", "20").toInt
     val dupMode = sys.env.getOrElse("SPARK_GRAFT_DUPMODE", "mixed")
     val lenMult = sys.env.getOrElse("P_LENMULT", "1").toInt
@@ -144,6 +168,12 @@ object ProfPhases {
     val edges = ver.select("a", "b").unionByName(sfx.select("a", "b")).distinct().persist()
     time("edges")(println(edges.count()))
     time("cc")(println(graft.cc.ConnectedComponents.run(spark, edges).count()))
+    locally {
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._2._2).take(10).foreach { case (id, (name, dur)) =>
+        println(f"stage $id%4d ${dur / 1000.0}%7.1f s  $name")
+      }
+    }
     spark.stop()
   }
 }
