@@ -123,9 +123,14 @@ object Bench {
     // needs SPARK_HOME=/opt/spark so the standalone Worker can fork them).
     // SPARK_GRAFT_CPUS stays the TOTAL core count (= shuffle partitions).
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // SPARK_GRAFT_SHUFFLE_PARTS decouples exchange sizing from core count
+    // (default: = cores). At content-weighted shapes the suffix gram
+    // exchange is ~50× a core-count partitioning's sort budget and
+    // spills; 2–4× cores is the standard practice a real deployment runs.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val builder = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
       .config("spark.sql.session.timeZone", "UTC")
