@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.conf.DedupConfig
-import graft.extra.{Similarity, TextOps}
+import graft.extra.{Similarity, TextOps, TrainPrep}
 import graft.ingest.Ingest
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -540,6 +540,16 @@ object SparkEntry {
     "text_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "text_fingerprints" -> ((s, d) => TextOps.fingerprints(s, d)),
 
+    // ---- training-set prep (Q/sql; all integer/string outputs) ----
+    // deterministic salted-md5 train/val/test assignment (bucket 0..255)
+    "train_split" -> ((s, d) => TrainPrep.splitAssign(s, d)),
+    // token-budget shard packing via the two-phase distributed prefix sum
+    // (the DuckDB twin uses the single-window form the engine must NOT plan)
+    "pack_shards" -> ((s, d) => TrainPrep.packShards(s, d)),
+    "shard_stats" -> ((s, d) => TrainPrep.shardStats(s, d)),
+    // k lowest salted-hash docs per lang — exact quota, reproducible
+    "sample_stratified" -> ((s, d) => TrainPrep.stratifiedSample(s, d)),
+
     // ---- embeddings / similarity ----
     "emb_dims" -> ((s, d) =>
       Similarity.embeddings(s, d)
@@ -821,6 +831,39 @@ object SparkEntry {
       raw"SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_ws_tokens, len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))::BIGINT AS n_bpeish_tokens FROM documents ORDER BY doc_id",
     "text_quality" ->
       raw"SELECT doc_id, length(text)::BIGINT AS n_chars, round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)::DOUBLE, 4) AS alpha_ratio, round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)::DOUBLE, 4) AS digit_ratio, round(length(regexp_replace(text, '[A-Za-z0-9_\s]', '', 'g')) / length(text)::DOUBLE, 4) AS punct_ratio, round(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','of','and','a','to','in','is','it','you','that','he','was','for','on','are','with','as','i','his','they'))) * 1.0 / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio FROM documents ORDER BY doc_id",
+    // train/val/test twin: DuckDB has no conv(hex,16,10), so the bucket is
+    // decoded by hex-digit strpos arithmetic — same value, different spelling
+    "train_split" ->
+      """WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR || ':graft-split-v1') AS hx FROM documents),
+        |b AS (SELECT doc_id, ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+        |  + strpos('0123456789abcdef', substring(hx, 2, 1)) - 1)::BIGINT AS hash_bucket FROM h)
+        |SELECT doc_id, hash_bucket,
+        |  CASE WHEN hash_bucket < 204 THEN 'train' WHEN hash_bucket < 230 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id
+        |""".stripMargin.replaceAll("\\s+", " "),
+    // shard-packing twin: the oracle uses the SINGLE global window the
+    // engine deliberately avoids (fine over 500 rows in DuckDB; a
+    // single-partition sort at scale) — checking the two-phase prefix sum
+    // against the textbook definition
+    "pack_shards" ->
+      raw"""WITH t AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER
+        |  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl FROM t)
+        |SELECT doc_id, n_tokens, (excl // 2000)::BIGINT AS shard_id FROM c ORDER BY doc_id
+        |""".stripMargin.replaceAll("\\s+", " "),
+    "shard_stats" ->
+      raw"""WITH t AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER
+        |  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl FROM t),
+        |s AS (SELECT n_tokens, (excl // 2000)::BIGINT AS shard_id FROM c)
+        |SELECT shard_id, count(*)::BIGINT AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM s GROUP BY shard_id ORDER BY shard_id
+        |""".stripMargin.replaceAll("\\s+", " "),
+    "sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang, md5(doc_id::VARCHAR || ':graft-sample-v1') AS hx FROM documents),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id)::BIGINT AS sample_rank FROM h)
+        |SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 50 ORDER BY doc_id
+        |""".stripMargin.replaceAll("\\s+", " "),
     "emb_dims" ->
       "SELECT vec_id, len(embedding)::BIGINT AS dim FROM embeddings ORDER BY vec_id",
     // Embedding-dup clustering twin: the ALL-PAIRS cos ≥ 0.9 rule + the same

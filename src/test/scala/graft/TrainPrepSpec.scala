@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extra.TrainPrep
+
+/** Training-set prep operators: deterministic split assignment, two-phase
+  * shard packing (incl. bucket-count invariance — the property that makes
+  * the distributed prefix sum correct), stratified quota sampling.
+  */
+class TrainPrepSpec extends AnyFunSuite with SparkTestBase {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("splitAssign: deterministic, bucketed 0..255, sane fractions") {
+    val a = TrainPrep.splitAssign(spark, d).collect()
+    val b = TrainPrep.splitAssign(spark, d).collect()
+    assert(a.toSeq == b.toSeq, "same salt must give identical assignment")
+    assert(a.forall { r => val v = r.getLong(1); v >= 0 && v < 256 })
+    val n = a.length.toDouble
+    val frac = a.groupBy(_.getString(2)).view.mapValues(_.length / n).toMap
+    // 50 docs at sf0.001 — loose envelopes around 79.7/10.2/10.1%
+    assert(frac("train") > 0.6 && frac("train") < 0.95, frac.toString)
+    assert(frac.getOrElse("val", 0.0) + frac.getOrElse("test", 0.0) > 0.05)
+    // bucket↔split rule is exactly the thresholds
+    assert(a.forall { r =>
+      val (v, s) = (r.getLong(1), r.getString(2))
+      s == (if (v < 204) "train" else if (v < 230) "val" else "test")
+    })
+    // a different salt must reshuffle at least one doc (non-vacuous salt)
+    val c = TrainPrep.splitAssign(spark, d, salt = "other").collect()
+    assert(a.map(_.getLong(1)).toSeq != c.map(_.getLong(1)).toSeq)
+  }
+
+  test("packShards: invariant to bucket count, budget respected, monotone") {
+    val budget = 500L
+    val p8 = TrainPrep.packShards(spark, d, budget, numBuckets = 8).collect()
+    val p64 = TrainPrep.packShards(spark, d, budget, numBuckets = 64).collect()
+    val p1 = TrainPrep.packShards(spark, d, budget, numBuckets = 1).collect()
+    assert(p8.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      p64.map(r => (r.getLong(0), r.getLong(2))).toSeq,
+      "shard assignment must not depend on the bucketing")
+    assert(p8.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      p1.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+    assert(p8.length > 0 && p8.last.getLong(2) > 0, "multiple shards expected")
+    // shard ids are non-decreasing in doc_id order (contiguous packing)
+    val ids = p8.map(_.getLong(2))
+    assert(ids.zip(ids.tail).forall { case (x, y) => y == x || y == x + 1 })
+    // floor-packing bound: each shard ≤ budget + (max doc tokens − 1)
+    val maxTok = p8.map(_.getLong(1)).max
+    val perShard = p8.groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(1)).sum)
+    assert(perShard.values.forall(_ <= budget + maxTok - 1), perShard.toMap.toString)
+    // every shard except possibly the last crossed its budget boundary
+    val lastShard = ids.max
+    assert(perShard.collect { case (s, t) if s != lastShard => t }
+      .forall(_ >= 1), "no empty interior shards")
+  }
+
+  test("stratifiedSample: exact quota per lang, deterministic, consistent") {
+    val k = 5
+    val s1 = TrainPrep.stratifiedSample(spark, d, k).collect()
+    val s2 = TrainPrep.stratifiedSample(spark, d, k).collect()
+    assert(s1.toSeq == s2.toSeq)
+    val langSizes = spark.read.parquet(s"$d/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    langSizes.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0) == math.min(k.toLong, n),
+        s"lang $lang: quota ${math.min(k.toLong, n)} got ${got.getOrElse(lang, 0)}")
+    }
+    assert(s1.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= k))
+    // sampled rows carry the document's true lang
+    val docLang = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.forall(r => docLang(r.getLong(0)) == r.getString(1)))
+  }
+}
