@@ -57,6 +57,20 @@ class TrainPrepSpec extends AnyFunSuite with SparkTestBase {
       .forall(_ >= 1), "no empty interior shards")
   }
 
+  test("packShards plans no globally-partitioned window (the 100-TB trap)") {
+    val df = TrainPrep.packShards(spark, d, budget = 500L)
+    df.count() // materialize so executedPlan is the final adaptive plan
+    // The prefix window must be partitioned by pid; a windowspecdefinition
+    // without it is the single-task global scan the two-phase design
+    // exists to avoid. String assertion (PlanSpec pattern) because AQE's
+    // QueryStageExec leaves hide the inner plan from tree collect.
+    val lines = df.queryExecution.executedPlan.toString().linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(lines.nonEmpty, "expected the within-bucket prefix window")
+    assert(lines.forall(_.contains("pid#")),
+      s"window not partitioned by pid:\n${lines.mkString("\n")}")
+  }
+
   test("stratifiedSample: exact quota per lang, deterministic, consistent") {
     val k = 5
     val s1 = TrainPrep.stratifiedSample(spark, d, k).collect()
