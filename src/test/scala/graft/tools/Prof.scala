@@ -301,6 +301,13 @@ object ProfPlans {
     sfxDf.count()
     println("########## suffix_containment EXECUTED (adaptive)")
     println(sfxDf.queryExecution.executedPlan.toString)
+    // train-prep: split is one codegen projection (no exchange); shard
+    // packing must show the pid-partitioned prefix window + the broadcast
+    // offsets join, NOT a global-order window (TrainPrepSpec guards)
+    show("train_split", graft.SparkEntry.queries("train_split")(spark, d))
+    show("pack_shards", graft.SparkEntry.queries("pack_shards")(spark, d))
+    show("sample_stratified",
+      graft.SparkEntry.queries("sample_stratified")(spark, d))
     spark.stop()
   }
 }
