@@ -57,6 +57,12 @@ object TrainPrep {
     * partitioned by pid, which is parallel. shard_id depends only on the
     * global doc_id order, so the result is invariant to `numBuckets`
     * (TrainPrepSpec proves 8 vs 64 identical).
+    *
+    * The even id-range buckets assume ids without pathological gaps (true
+    * for ingest-assigned ids); a heavily clustered id space would skew
+    * bucket sizes — raise `numBuckets` (the offsets table stays tiny) or
+    * pre-normalize ids, rather than reaching for `repartitionByRange`,
+    * which reintroduces the sampled-boundary consistency problem.
     */
   def packShards(spark: SparkSession, sfDir: String, budget: Long = 2000L,
                  numBuckets: Int = 64): DataFrame = {
