@@ -172,7 +172,16 @@ object Dedup {
     // ingest/signature kernels parallelize (no-op cost at real scale, where
     // the scan already yields thousands of partitions).
     val spread = corpus.repartition(spark.sparkContext.defaultParallelism * 2)
-    val res = run(spark, spread, workDir, inputId = inputIdentity(spark, input))
+    // GRAFT_SUFFIX_MODE=winnow [GRAFT_WINNOW_K=n] selects the winnowed
+    // suffix index (the 100-TB memory lever — ~13× smaller index at
+    // verified recall 1.0, BASELINE round-5). Semantic knob: it enters the
+    // config fingerprint, so switching modes invalidates exactly the
+    // suffix-dependent stage suffix on resume instead of silently mixing
+    // indexes. Df-cap caveat at the knob: see DedupConfig.suffixIndexMode.
+    val cfg = DedupConfig.default.copy(
+      suffixIndexMode = sys.env.getOrElse("GRAFT_SUFFIX_MODE", "grams"),
+      winnowK = sys.env.getOrElse("GRAFT_WINNOW_K", "0").toInt)
+    val res = run(spark, spread, workDir, cfg, inputId = inputIdentity(spark, input))
     println(s"[dedup] computed stages: ${res.computed.mkString(", ")}; " +
       s"clusters=${res.clusters.count()}")
     spark.stop()

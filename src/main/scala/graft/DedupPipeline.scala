@@ -22,15 +22,18 @@ object DedupPipeline {
       verifiedPairs: DataFrame,
       clusters: DataFrame,
       clusterStats: DataFrame,
-      stopBands: DataFrame) {
+      stopBands: DataFrame,
+      extraCaches: Seq[DataFrame] = Nil) {
     /** Drop the pipeline-owned cached stages — one-shot callers
       * (benchmarks, repeated run() in one session) must release or the
       * multi-million-row pair caches pin executor memory for the session's
       * life. `t1` is caller-provided (run() persists the caller's handle)
-      * and stays cached for the caller to manage.
+      * and stays cached for the caller to manage. `extraCaches` holds
+      * internal persisted intermediates (t1Distinct, raw LSH pairs) that no
+      * Result field exposes but that must not outlive the release.
       */
     def release(): Unit =
-      Seq(signatures, bands, candidatePairs, verifiedPairs, clusters)
+      (Seq(signatures, bands, candidatePairs, verifiedPairs, clusters) ++ extraCaches)
         .foreach(_.unpersist(blocking = false))
   }
 
@@ -89,15 +92,40 @@ object DedupPipeline {
     // bands feed two independent broadcast subtrees (stop + hot counts) and
     // the salted join — persist so the posexplode isn't recomputed per branch
     val bands = lsh.Banding.bandRows(sigs, cfg).persist()
-    val (lshPairs, stopBands) =
+
+    // The suffix pass materializes its candidate table EAGERLY at call time
+    // (localCheckpoint under AQE — see SuffixPass), which used to serialize
+    // the whole gram shuffle AHEAD of every LSH-side job. The two subtrees
+    // are independent until the verified union, so run the suffix pass on
+    // its own thread and spend the wait materializing the t1/t1Distinct/
+    // sigs/bands caches every later action needs anyway — work moved
+    // earlier, not added (the caller's first action no longer pays it).
+    val suffixFut =
+      if (withSuffixPass) {
+        val out = new java.util.concurrent.CompletableFuture[DataFrame]()
+        val th = new Thread(() =>
+          try out.complete(suffix_.containmentPairs(spark, t1Distinct, cfg)
+            .select(col("a"), col("b"), col("src")))
+          catch { case e: Throwable => out.completeExceptionally(e) },
+          "graft-suffix-pass")
+        th.setDaemon(true)
+        th.start()
+        Some(out)
+      } else None
+    if (withSuffixPass) bands.count(): Unit
+
+    val (lshPairs0, stopBands) =
       if (cfg.pairGenJoin) lsh.CandidatePairs.generateJoin(spark, bands, cfg)
       else lsh.CandidatePairs.generate(spark, bands, cfg)
-    val exact = lsh.CandidatePairs.exactPairs(t1)
-    val suffix =
-      if (withSuffixPass)
-        suffix_.containmentPairs(spark, t1Distinct, cfg)
-          .select(col("a"), col("b"), col("src"))
-      else spark.emptyDataFrame
+    // the raw LSH pair subtree feeds BOTH the verified tree and the
+    // candidate-reporting tree; persisted so consuming both (the staged
+    // CLI, prewarmPipeline) runs pair generation once, not twice
+    val lshPairs = lshPairs0.persist()
+    // exact-star edges reuse t1Distinct's (sha → min doc_id) instead of
+    // re-aggregating the full corpus (one groupBy shuffle of t1 saved)
+    val repsBySha = t1Distinct.select(col("content_sha256"), col("doc_id").as("rep"))
+    val exact = lsh.CandidatePairs.exactPairsFromReps(t1, repsBySha)
+    val suffix = suffixFut.map(_.get()).getOrElse(spark.emptyDataFrame)
 
     // Verified edge set: LSH pairs pass Jaccard/Hamming; exact and suffix
     // pairs are verified by construction. Canonical union with src priority.
@@ -122,7 +150,7 @@ object DedupPipeline {
     // CC graph free of the identical-content mass entirely.
     val repEdges = verified.where(col("src") =!= "exact").select("a", "b")
     val repMapping = cc.ConnectedComponents.run(spark, repEdges)
-    val clusters = attachMembers(t1, repMapping).persist()
+    val clusters = attachMembersVia(t1, repMapping, repsBySha).persist()
 
     val stats = clusters.join(t1.select("doc_id", "repo"), "doc_id")
       .groupBy("cluster_id")
@@ -135,7 +163,8 @@ object DedupPipeline {
       if (withSuffixPass) lshPairs.unionByName(exact).unionByName(suffix)
       else lshPairs.unionByName(exact)).persist()
 
-    Result(t1, sigs, bands, candidates, verified, clusters, stats, stopBands)
+    Result(t1, sigs, bands, candidates, verified, clusters, stats, stopBands,
+      extraCaches = Seq(t1Distinct, lshPairs))
   }
 
   private val suffix_ = graft.suffix.SuffixPass
@@ -173,10 +202,17 @@ object DedupPipeline {
     * through its sha-rep; reps without an LSH/suffix edge head their own
     * (possibly multi-member) exact cluster.
     */
-  def attachMembers(t1: DataFrame, repMapping: DataFrame): DataFrame = {
-    val reps = t1.groupBy("content_sha256").agg(min("doc_id").as("rep"))
+  def attachMembers(t1: DataFrame, repMapping: DataFrame): DataFrame =
+    attachMembersVia(t1, repMapping,
+      t1.groupBy("content_sha256").agg(min("doc_id").as("rep")))
+
+  /** [[attachMembers]] with the (content_sha256 → rep) table supplied by the
+    * caller — run() passes t1Distinct's projection so the full corpus is not
+    * re-aggregated a second time for a mapping it already holds.
+    */
+  def attachMembersVia(t1: DataFrame, repMapping: DataFrame, repsBySha: DataFrame): DataFrame = {
     val docRep = t1.select(col("doc_id"), col("content_sha256"))
-      .join(reps, "content_sha256")
+      .join(repsBySha, "content_sha256")
     docRep
       .join(repMapping.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("rep")).as("cluster_id"))

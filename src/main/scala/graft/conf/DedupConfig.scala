@@ -36,6 +36,22 @@ final case class DedupConfig(
     // Rare-shingle doc-frequency cap used to scope the suffix/containment
     // pass: only shingles shared by 2..dfMax docs anchor candidate groups.
     suffixDfMax: Int = 64,
+    // Suffix-index mode: "grams" (default — one index row per token
+    // position, so the df-cap acts on exact boilerplate gram frequency) or
+    // "winnow" (Schleimer et al. SIGMOD'03 robust winnowing over winnowK-
+    // grams with window suffixMinLen−winnowK+1: any shared run ≥ minLen
+    // still shares a selected fingerprint, at ~2/(w+1) rows per token —
+    // measured 13.5× smaller index at verified recall 1.0, BASELINE
+    // round-5 — the memory lever for corpora whose gram index doesn't
+    // fit). CAVEAT (measured, SuffixPass scaladoc): in winnow mode the
+    // df-cap acts on winnowed fingerprints whose selection is context-
+    // dependent, so a boilerplate run selected by only a few docs can leak
+    // past the cap, and shorter k admits ≥k-token candidates the exact
+    // verifier must then reject. SEMANTIC knob (the emitted pair set can
+    // differ near the cap) → fingerprinted when non-default.
+    suffixIndexMode: String = "grams",
+    // k-gram size for winnow mode; 0 derives max(4, suffixMinLen/2).
+    winnowK: Int = 0,
     seed: Long = 42L,
     version: String = "v1",
     // Execution-strategy knob (does NOT affect results, hence not part of
@@ -45,8 +61,22 @@ final case class DedupConfig(
 ) {
   require(numPerms == bands * rowsPerBand, "numPerms must equal bands*rowsPerBand")
   require(64 % simhashBlocks == 0, "simhashBlocks must divide 64")
+  require(suffixIndexMode == "grams" || suffixIndexMode == "winnow",
+    s"unknown suffixIndexMode '$suffixIndexMode' (grams|winnow)")
 
   def simhashBlockBits: Int = 64 / simhashBlocks
+
+  /** Effective winnow k-gram size (winnow mode only). */
+  def winnowKEff: Int = {
+    val k = if (winnowK > 0) winnowK else math.max(4, suffixMinLen / 2)
+    require(k <= suffixMinLen, s"winnowK $k must be ≤ suffixMinLen $suffixMinLen")
+    k
+  }
+
+  /** Winnow window: w + k − 1 = suffixMinLen preserves the ≥minLen
+    * detection guarantee (SuffixArraySpec proves it on the kernel).
+    */
+  def winnowW: Int = suffixMinLen - winnowKEff + 1
 
   /** Stable fingerprint of the config, stamped into lineage rows.
     *
@@ -61,7 +91,10 @@ final case class DedupConfig(
   def fingerprint: String =
     s"$version:k$shingleK:p$numPerms:b${bands}x$rowsPerBand:sb$simhashBlocks" +
       s":h$hammingMax:tau$jaccardTau:sfx$suffixMinLen:stop$stopBandSize" +
-      s":dfx$suffixDfMax:seed$seed"
+      s":dfx$suffixDfMax:seed$seed" +
+      // appended only when non-default so every existing grams-mode
+      // fingerprint (lineage rows, resumable state dirs) stays byte-stable
+      (if (suffixIndexMode != "grams") s":sfxmode$suffixIndexMode-k$winnowKEff" else "")
 }
 
 object DedupConfig {

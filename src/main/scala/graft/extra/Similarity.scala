@@ -229,8 +229,13 @@ object Similarity extends Serializable {
     val nlist = nlistOpt.getOrElse(math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt))
     val nprobe = nprobeOpt.getOrElse(math.max(2, nlist / 4))
 
-    // deterministic init: the nlist lowest vec_ids; one Lloyd step
-    val init: Array[Array[Float]] = emb.orderBy("vec_id").limit(nlist).collect().map(_.embedding)
+    // deterministic init: the nlist lowest vec_ids; one Lloyd step. The
+    // query set (nQueries lowest vec_ids) is a prefix of the same ordered
+    // head, so ONE collect serves both — the separate query collect was a
+    // whole extra job on a path that is fixed-cost-bound at bench scale.
+    val head: Array[Emb] = emb.orderBy("vec_id")
+      .limit(math.max(nlist, nQueries)).collect()
+    val init: Array[Array[Float]] = head.take(nlist).map(_.embedding)
     def nearest(cs: Array[Array[Float]], v: Array[Float]): Int = {
       var best = 0; var bestC = -2.0
       var i = 0
@@ -256,7 +261,7 @@ object Similarity extends Serializable {
     val listed = emb.map(e => (e.vec_id, e.embedding, nearest(bcRefined.value, e.embedding)))
       .toDF("vec_id", "embedding", "list")
 
-    val queries = emb.orderBy("vec_id").limit(nQueries).collect()
+    val queries = head.take(nQueries)
     val probes: Map[Long, Seq[Int]] = queries.map { q =>
       val scored = refined.indices.map(i => (i, cosine(refined(i), q.embedding)))
       q.vec_id -> scored.sortBy(-_._2).take(nprobe).map(_._1)

@@ -204,4 +204,16 @@ object CandidatePairs {
       .where(col("doc_id") =!= col("a"))
       .select(col("a"), col("doc_id").as("b"), lit("exact").as("src"))
   }
+
+  /** [[exactPairs]] with the (content_sha256 → rep) table supplied by the
+    * caller (DedupPipeline.run passes t1Distinct's projection): saves the
+    * full-corpus groupBy when the rep table already exists. Identical
+    * output — a size-1 sha group only joins its own rep row, which the
+    * `doc_id =!= rep` filter drops, so the cnt > 1 pre-filter is implied.
+    */
+  def exactPairsFromReps(t1: DataFrame, repsBySha: DataFrame): DataFrame =
+    t1.select(col("content_sha256"), col("doc_id"))
+      .join(repsBySha, "content_sha256")
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a"), col("doc_id").as("b"), lit("exact").as("src"))
 }

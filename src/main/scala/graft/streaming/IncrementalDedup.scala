@@ -112,15 +112,46 @@ object IncrementalDedup {
     * wall without touching what is written. A failure in any task
     * propagates before the caller reaches its commit marker, so the
     * exactly-once replay contract is unchanged.
+    *
+    * Every task runs under one shared Spark job group: when a chain fails
+    * (or exceeds the bounded await — default 120 min, env
+    * `GRAFT_CHAIN_TIMEOUT_MIN`), the group is cancelled so orphaned sibling
+    * jobs cannot keep writing `<table>/batch=<id>` partitions concurrently
+    * with a same-JVM replay of the failed batch; the error names the chain
+    * so a wedged FS call is debuggable instead of an unbounded silent hang.
+    * All tasks are awaited as Try BEFORE the first failure propagates.
     */
-  private def inParallel[A](tasks: Seq[() => A]): Seq[A] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+  private[graft] def inParallel[A](sc: org.apache.spark.SparkContext,
+      tasks: Seq[(String, () => A)]): Seq[A] = {
+    import scala.util.{Failure, Try}
     val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val group = s"graft-incr-${java.util.UUID.randomUUID()}"
+    val timeoutMin = sys.props.get("graft.chainTimeoutMin")
+      .orElse(sys.env.get("GRAFT_CHAIN_TIMEOUT_MIN"))
+      .flatMap(_.toLongOption).getOrElse(120L)
     try {
-      val fs = tasks.map(t => Future(t()))
-      fs.map(f => Await.result(f, Duration.Inf))
+      val futs = tasks.map { case (name, t) =>
+        name -> pool.submit(new java.util.concurrent.Callable[Try[A]] {
+          def call(): Try[A] = {
+            sc.setJobGroup(group, s"incr chain $name", interruptOnCancel = true)
+            try Try(t()) finally sc.clearJobGroup()
+          }
+        })
+      }
+      val results = futs.map { case (name, f) =>
+        name -> (Try(f.get(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)) match {
+          case Failure(_: java.util.concurrent.TimeoutException) =>
+            Failure(new RuntimeException(
+              s"state chain '$name' still running after $timeoutMin min — wedged write?"))
+          case Failure(e) => Failure(e)
+          case scala.util.Success(inner) => inner
+        })
+      }
+      results.collectFirst { case (name, Failure(e)) =>
+        sc.cancelJobGroup(group) // stop still-running sibling chains first
+        throw new RuntimeException(s"state chain '$name' failed", e)
+      }
+      results.map(_._2.get)
     } finally pool.shutdown()
   }
 
@@ -269,24 +300,28 @@ object IncrementalDedup {
       .select("doc_id", "repo", "lang", "content_sha256", "content")
       .dropDuplicates("doc_id")
       .persist()
+    // nRaw is the ONE count that must exist before any prune plan is built:
+    // it upper-bounds every broadcast-vs-shuffle decision below (nNew ≤
+    // nRaw, and a bound only gates broadcastability — using the looser raw
+    // count never changes emitted rows, it can only fall back to a shuffle
+    // semi-join sooner). Counting t1Raw unconditionally (the first batch
+    // included) also materializes the cache every chain reads.
+    val nRaw = timed("nRaw.count")(t1Raw.count())
     val t1New = docsOld match {
       case Some(old) =>
-        // nRaw bounds the broadcast decision and must exist BEFORE the prune
-        // plan is built — the one count job the batch cannot fold elsewhere
-        // (first batch skips it: there is nothing to prune against)
-        val nRaw = timed("nRaw.count")(t1Raw.count())
         val oldIdHit = semiPrune(old.select("doc_id"),
           t1Raw.select("doc_id"), Seq("doc_id"), nRaw)
         antiPrune(t1Raw, oldIdHit, Seq("doc_id"), nRaw).persist()
       case None => t1Raw
     }
 
-    // the write materializes the t1New cache; its attached observation IS
-    // this batch's doc count (reused as the upper bound for every
-    // broadcast-vs-shuffle prune decision below) — no follow-up count job
+    // the write materializes the t1New cache (its attached observation is
+    // the batch's exact doc count, recorded in lineage); running it BEFORE
+    // the concurrent chains keeps their first actions from racing to
+    // compute t1New's prune subtree 3–4× in parallel — duplicated upstream
+    // shuffle reads that the flat-shuffle guarantee (StreamingSpec) counts
     val nNew = timed("docs.write")(writeCounted(t1New.select("doc_id", "content_sha256"),
       s"$stateDir/docs/batch=$id"))
-    if (t1New ne t1Raw) t1Raw.unpersist(blocking = false)
 
     // First carrier per previously-unseen sha (min doc_id within the batch)
     // — the only docs that enter LSH/suffix state. Docs whose sha is already
@@ -295,9 +330,9 @@ object IncrementalDedup {
     val newShaDocs = docsOld match {
       case Some(old) =>
         val oldShaHit = semiPrune(old.select("content_sha256"),
-          t1New.select("content_sha256").distinct(), Seq("content_sha256"), nNew)
+          t1New.select("content_sha256").distinct(), Seq("content_sha256"), nRaw)
           .distinct()
-        antiPrune(t1New, oldShaHit, Seq("content_sha256"), nNew)
+        antiPrune(t1New, oldShaHit, Seq("content_sha256"), nRaw)
       case None => t1New
     }
     // persisted: the LSH chain (signatures) and the suffix chain (tokens)
@@ -315,12 +350,13 @@ object IncrementalDedup {
     // toks/grams/gram_counts/sfx_pairs vs exact_pairs) — run them
     // concurrently so their fixed per-job costs overlap (the measured
     // 8–10 s/batch floor was ~17 SEQUENTIAL driver-coordinated jobs).
-    val results = inParallel(Seq(
-      () => { lshIncrement(spark, stateDir, repsNew, done, id, nNew, cfg); 0L },
-      () => suffixIncrement(spark, stateDir, repsNew, done, id, cfg, collectStats),
-      () => { exactIncrement(spark, stateDir, t1New, docsOld, nNew, id); 0L }
+    val results = inParallel(spark.sparkContext, Seq[(String, () => Long)](
+      "lsh" -> (() => { lshIncrement(spark, stateDir, repsNew, done, id, nRaw, cfg); 0L }),
+      "suffix" -> (() => suffixIncrement(spark, stateDir, repsNew, done, id, cfg, collectStats)),
+      "exact" -> (() => { exactIncrement(spark, stateDir, t1New, docsOld, nRaw, id); 0L })
     ))
     val newSfxPairs = results(1)
+    if (t1New ne t1Raw) t1Raw.unpersist(blocking = false)
     repsNew.unpersist(blocking = false)
     if (t1New ne t1Raw) t1New.unpersist(blocking = false)
     else t1Raw.unpersist(blocking = false)
@@ -348,6 +384,19 @@ object IncrementalDedup {
     * touched: `signatures`, `bands`, `band_counts`, `lsh_pairs` — disjoint
     * from the suffix and exact chains, so processBatch runs the three
     * concurrently.
+    *
+    * Execution strategy (round 6; state rows unchanged): the band-count
+    * write no longer serializes the candidate path — the prune plans read
+    * `committed count partitions ∪ a recount of the just-written band
+    * partition` (row-identical: grams/bands are written before their
+    * counts are consumed, and the recount is the same aggregation the
+    * write runs), so the counts write runs CONCURRENTLY with the
+    * candidate→verify→pair-write path. All intermediates stay
+    * parquet-backed: an earlier attempt to cache them instead broke
+    * exchange reuse inside the prune plans (each broadcast build
+    * recomputed the whole upstream pipeline — per-batch shuffle 2.6×) and
+    * starved the planner of size estimates. Critical path: 5 serial jobs
+    * → 4.
     */
   private def lshIncrement(spark: SparkSession, stateDir: String,
       repsNew: DataFrame, done: Seq[Long], id: Long, nNew: Long,
@@ -358,62 +407,71 @@ object IncrementalDedup {
     val sigsNewD = spark.read.parquet(s"$stateDir/signatures/batch=$id")
     val bandsNew = graft.lsh.Banding.bandRows(sigsNewD, cfg)
     timed("bands.write")(bandsNew.write.mode("overwrite").parquet(s"$stateDir/bands/batch=$id"))
-
     val bandsNewD = spark.read.parquet(s"$stateDir/bands/batch=$id")
-    // running band counts: this batch's per-key counts land in their own
-    // append-only partition, exactly like bands/signatures
-    timed("bcounts.write")(bandsNewD.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(s"$stateDir/band_counts/batch=$id"))
+    val bcNew = bandsNewD.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
 
-    val bandsAll = readState(spark, stateDir, "bands", done, alsoBatch = id).get
-      .select("band", "band_hash", "doc_id")
-    val sigsAll = readState(spark, stateDir, "signatures", done, alsoBatch = id).get
-      .select("doc_id", "minhash", "simhash")
+    inParallel(spark.sparkContext, Seq[(String, () => Unit)](
+      // running band counts: this batch's per-key counts land in their own
+      // append-only partition, exactly like bands/signatures
+      "bcounts.write" -> (() => timed("bcounts.write")(bcNew
+        .write.mode("overwrite").parquet(s"$stateDir/band_counts/batch=$id"))),
+      "lsh.pairs" -> (() => {
+        val bandsAll = readState(spark, stateDir, "bands", done, alsoBatch = id).get
+          .select("band", "band_hash", "doc_id")
+        val sigsAll = readState(spark, stateDir, "signatures", done, alsoBatch = id).get
+          .select("doc_id", "minhash", "simhash")
+        // committed counts ∪ recount of the written band partition — the
+        // counts write above need not finish before this plan runs
+        val countsAll = readState(spark, stateDir, "band_counts", done) match {
+          case Some(old) => old.select("band", "band_hash", "cnt")
+            .unionByName(bcNew.select("band", "band_hash", "cnt"))
+          case None => bcNew.select("band", "band_hash", "cnt")
+        }
 
-    // Probe-side prune + running stop-band cap (see scaladoc). nBandKeys
-    // bounds the distinct-key row count of every pruned side.
-    val nBandKeys = nNew * (cfg.bands + cfg.simhashBlocks)
-    val newKeys = bandsNewD.select("band", "band_hash").distinct()
-    val hotKeys = semiPrune(
-        readState(spark, stateDir, "band_counts", done, alsoBatch = id).get,
-        newKeys, Seq("band", "band_hash"), nBandKeys)
-      .groupBy("band", "band_hash").agg(sum("cnt").as("total"))
-      .where(col("total") > cfg.stopBandSize)
-      .select("band", "band_hash")
-    val bandsNewKept = antiPrune(bandsNewD.select("band", "band_hash", "doc_id"),
-      hotKeys, Seq("band", "band_hash"), nBandKeys)
-    val bandsProbe = antiPrune(
-      semiPrune(bandsAll, newKeys, Seq("band", "band_hash"), nBandKeys),
-      hotKeys, Seq("band", "band_hash"), nBandKeys)
+        // Probe-side prune + running stop-band cap (see scaladoc).
+        // nBandKeys bounds the distinct-key row count of every pruned side.
+        val nBandKeys = nNew * (cfg.bands + cfg.simhashBlocks)
+        val newKeys = bandsNewD.select("band", "band_hash").distinct()
+        val hotKeys = semiPrune(countsAll, newKeys, Seq("band", "band_hash"), nBandKeys)
+          .groupBy("band", "band_hash").agg(sum("cnt").as("total"))
+          .where(col("total") > cfg.stopBandSize)
+          .select("band", "band_hash")
+        val bandsNewKept = antiPrune(bandsNewD.select("band", "band_hash", "doc_id"),
+          hotKeys, Seq("band", "band_hash"), nBandKeys)
+        val bandsProbe = antiPrune(
+          semiPrune(bandsAll, newKeys, Seq("band", "band_hash"), nBandKeys),
+          hotKeys, Seq("band", "band_hash"), nBandKeys)
 
-    // LSH candidates touching a new rep, WITH band provenance (the
-    // read-time retroactive cap needs to know which bands emitted a pair).
-    // Persisted: it feeds the verify join, the endpoint prune, and the
-    // provenance write.
-    val prov = bandsNewKept.select(col("band"), col("band_hash"), col("doc_id").as("n"))
-      .join(bandsProbe.select(col("band"), col("band_hash"), col("doc_id").as("m")),
-        Seq("band", "band_hash"))
-      .where(col("n") =!= col("m"))
-      .select(least(col("n"), col("m")).as("a"), greatest(col("n"), col("m")).as("b"),
-        col("band"), col("band_hash"))
-      .distinct()
-      .persist()
-    val nProv = timed("lshprov.count")(prov.count())
+        // LSH candidates touching a new rep, WITH band provenance (the
+        // read-time retroactive cap needs to know which bands emitted a
+        // pair). Persisted: it feeds the verify join, the endpoint prune,
+        // and the provenance write.
+        val prov = bandsNewKept.select(col("band"), col("band_hash"), col("doc_id").as("n"))
+          .join(bandsProbe.select(col("band"), col("band_hash"), col("doc_id").as("m")),
+            Seq("band", "band_hash"))
+          .where(col("n") =!= col("m"))
+          .select(least(col("n"), col("m")).as("a"), greatest(col("n"), col("m")).as("b"),
+            col("band"), col("band_hash"))
+          .distinct()
+          .persist()
+        val nProv = timed("lshprov.count")(prov.count())
 
-    val lshCands = graft.lsh.CandidatePairs.strongest(
-      prov.select(col("a"), col("b"),
-        when(col("band") < cfg.bands, "minhash").otherwise("simhash").as("src")))
+        val lshCands = graft.lsh.CandidatePairs.strongest(
+          prov.select(col("a"), col("b"),
+            when(col("band") < cfg.bands, "minhash").otherwise("simhash").as("src")))
 
-    // verify against endpoint-pruned signatures: candidates touch ≤ 2·|prov|
-    // docs, so the O(corpus) signature state stays out of the verify joins
-    val ends = prov.select(col("a").as("doc_id"))
-      .unionByName(prov.select(col("b").as("doc_id"))).distinct()
-    val sigsCand = semiPrune(sigsAll, ends, Seq("doc_id"), 2 * nProv)
-    val verifiedLsh = graft.verify.Verifier.verifyLshPairs(lshCands, sigsCand, cfg)
+        // verify against endpoint-pruned signatures: candidates touch
+        // ≤ 2·|prov| docs, so the O(corpus) signature state stays out of
+        // the verify joins
+        val ends = prov.select(col("a").as("doc_id"))
+          .unionByName(prov.select(col("b").as("doc_id"))).distinct()
+        val sigsCand = semiPrune(sigsAll, ends, Seq("doc_id"), 2 * nProv)
+        val verifiedLsh = graft.verify.Verifier.verifyLshPairs(lshCands, sigsCand, cfg)
 
-    timed("lshpairs.write")(prov.join(verifiedLsh.select("a", "b", "est_jaccard", "src"), Seq("a", "b"))
-      .write.mode("overwrite").parquet(s"$stateDir/lsh_pairs/batch=$id"))
-    prov.unpersist(blocking = false)
+        timed("lshpairs.write")(prov.join(verifiedLsh.select("a", "b", "est_jaccard", "src"), Seq("a", "b"))
+          .write.mode("overwrite").parquet(s"$stateDir/lsh_pairs/batch=$id"))
+        prov.unpersist(blocking = false)
+      })))
   }
 
   /** Exact-dup chain of one micro-batch: within-batch star + one cross-batch
@@ -482,6 +540,13 @@ object IncrementalDedup {
     import spark.implicits._
     val minLen = cfg.suffixMinLen
 
+    // Round-6 execution strategy (state rows unchanged, mirrors
+    // lshIncrement): the gram-count write no longer serializes the
+    // candidate path — the prune plans read `committed count partitions ∪
+    // a recount of the just-written gram partition` and run CONCURRENTLY
+    // with the counts write. Intermediates stay parquet-backed (see
+    // lshIncrement: cached intermediates broke exchange reuse in the prune
+    // plans and starved the planner of size estimates).
     val toksNew = graft.suffix.SuffixPass.tokenDocs(spark, repsNew, cfg)
       .filter(_.tokens.length >= minLen) // can't hold a minLen run otherwise
     timed("toks.write")(toksNew.toDF().write.mode("overwrite").parquet(s"$stateDir/toks/batch=$id"))
@@ -493,66 +558,75 @@ object IncrementalDedup {
     val nGramRows = timed("grams.write")(writeCounted(
       toksNewD.select(col("doc_id"), col("tokens")).as[(Long, Array[Long])]
         .flatMap { case (d, tk) =>
-          graft.suffix.SuffixPass.grams(tk, minLen).map(fp => (fp, d))
+          graft.suffix.SuffixPass.indexFps(tk, cfg).map(fp => (fp, d))
         }
         .toDF("fp", "doc_id"),
       s"$stateDir/grams/batch=$id"))
     val gramsNewD = spark.read.parquet(s"$stateDir/grams/batch=$id")
-    // grams() emits distinct grams per doc, so count(*) = docs-per-gram
-    timed("gcounts.write")(gramsNewD.groupBy("fp").agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(s"$stateDir/gram_counts/batch=$id"))
-    val newFps = gramsNewD.select("fp").distinct()
-    val hotFps = semiPrune(
-        readState(spark, stateDir, "gram_counts", done, alsoBatch = id).get,
-        newFps, Seq("fp"), nGramRows)
-      .groupBy("fp").agg(sum("cnt").as("total"))
-      .where(col("total") > cfg.suffixDfMax)
-      .select("fp")
-    val gramsNewKept = antiPrune(gramsNewD, hotFps, Seq("fp"), nGramRows)
-    val gramsProbe = antiPrune(
-      semiPrune(readState(spark, stateDir, "grams", done, alsoBatch = id).get,
-        newFps, Seq("fp"), nGramRows),
-      hotFps, Seq("fp"), nGramRows)
+    // grams() emits distinct fps per doc, so count(*) = docs-per-gram
+    val gcNew = gramsNewD.groupBy("fp").agg(count(lit(1)).as("cnt"))
 
-    // candidate pairs WITH anchor-gram provenance (read-time cap needs it);
-    // persisted — it feeds the endpoint prune, the verify join and the
-    // provenance write, and its count bounds the broadcast decision
-    val prov = gramsNewKept.select(col("fp"), col("doc_id").as("n"))
-      .join(gramsProbe.select(col("fp"), col("doc_id").as("m")), Seq("fp"))
-      .where(col("n") =!= col("m"))
-      .select(least(col("n"), col("m")).as("a"), greatest(col("n"), col("m")).as("b"), col("fp"))
-      .distinct()
-      .persist()
-    val nProv = timed("sfxprov.count")(prov.count())
+    inParallel(spark.sparkContext, Seq[(String, () => Long)](
+      "gcounts.write" -> (() => { timed("gcounts.write")(gcNew
+        .write.mode("overwrite").parquet(s"$stateDir/gram_counts/batch=$id")); 0L }),
+      "sfx.pairs" -> (() => {
+        // committed counts ∪ recount of the written gram partition — the
+        // counts write above need not finish before this plan runs
+        val gcountsAll = readState(spark, stateDir, "gram_counts", done) match {
+          case Some(old) => old.select("fp", "cnt").unionByName(gcNew.select("fp", "cnt"))
+          case None => gcNew.select("fp", "cnt")
+        }
+        val newFps = gramsNewD.select("fp").distinct()
+        val hotFps = semiPrune(gcountsAll, newFps, Seq("fp"), nGramRows)
+          .groupBy("fp").agg(sum("cnt").as("total"))
+          .where(col("total") > cfg.suffixDfMax)
+          .select("fp")
+        val gramsNewKept = antiPrune(gramsNewD, hotFps, Seq("fp"), nGramRows)
+        val gramsProbe = antiPrune(
+          semiPrune(readState(spark, stateDir, "grams", done, alsoBatch = id).get,
+            newFps, Seq("fp"), nGramRows),
+          hotFps, Seq("fp"), nGramRows)
 
-    // verify each distinct pair once; token streams attach endpoint-pruned
-    // (guarded — a boilerplate-heavy batch can push the candidate endpoint
-    // set past any safe broadcast size)
-    val candPairs = prov.select("a", "b").distinct()
-    val ends = candPairs.select(col("a").as("doc_id"))
-      .unionByName(candPairs.select(col("b").as("doc_id"))).distinct()
-    val toksCand = semiPrune(
-      readState(spark, stateDir, "toks", done, alsoBatch = id).get,
-      ends, Seq("doc_id"), 2 * nProv)
-    val verifiedSfx = candPairs
-      .join(toksCand.select(col("doc_id").as("a"), col("tokens").as("ta")), "a")
-      .join(toksCand.select(col("doc_id").as("b"), col("tokens").as("tb")), "b")
-      .select(col("a"), col("b"), col("ta"), col("tb"))
-      .as[(Long, Long, Array[Long], Array[Long])]
-      .mapPartitions(_.flatMap { case (a, b, tA, tB) =>
-        // same exact O(n) decision as the batch pass (SA only as the
-        // hash-collision fallback arbiter)
-        if (graft.suffix.SuffixArrays.commonRunAtLeast(tA, tB, minLen) >= minLen) Some((a, b))
-        else None
-      })
-      .toDF("a", "b")
+        // candidate pairs WITH anchor-gram provenance (read-time cap needs
+        // it); persisted — it feeds the endpoint prune, the verify join and
+        // the provenance write, and its count bounds the broadcast decision
+        val prov = gramsNewKept.select(col("fp"), col("doc_id").as("n"))
+          .join(gramsProbe.select(col("fp"), col("doc_id").as("m")), Seq("fp"))
+          .where(col("n") =!= col("m"))
+          .select(least(col("n"), col("m")).as("a"), greatest(col("n"), col("m")).as("b"), col("fp"))
+          .distinct()
+          .persist()
+        val nProv = timed("sfxprov.count")(prov.count())
 
-    timed("sfxpairs.write")(prov.join(verifiedSfx, Seq("a", "b"), "left_semi")
-      .write.mode("overwrite").parquet(s"$stateDir/sfx_pairs/batch=$id"))
-    prov.unpersist(blocking = false)
-    if (!collectStats) -1L
-    else spark.read.parquet(s"$stateDir/sfx_pairs/batch=$id")
-      .select("a", "b").distinct().count()
+        // verify each distinct pair once; token streams attach
+        // endpoint-pruned (guarded — a boilerplate-heavy batch can push the
+        // candidate endpoint set past any safe broadcast size)
+        val candPairs = prov.select("a", "b").distinct()
+        val ends = candPairs.select(col("a").as("doc_id"))
+          .unionByName(candPairs.select(col("b").as("doc_id"))).distinct()
+        val toksCand = semiPrune(
+          readState(spark, stateDir, "toks", done, alsoBatch = id).get,
+          ends, Seq("doc_id"), 2 * nProv)
+        val verifiedSfx = candPairs
+          .join(toksCand.select(col("doc_id").as("a"), col("tokens").as("ta")), "a")
+          .join(toksCand.select(col("doc_id").as("b"), col("tokens").as("tb")), "b")
+          .select(col("a"), col("b"), col("ta"), col("tb"))
+          .as[(Long, Long, Array[Long], Array[Long])]
+          .mapPartitions(_.flatMap { case (a, b, tA, tB) =>
+            // same exact O(n) decision as the batch pass (SA only as the
+            // hash-collision fallback arbiter)
+            if (graft.suffix.SuffixArrays.commonRunAtLeast(tA, tB, minLen) >= minLen) Some((a, b))
+            else None
+          })
+          .toDF("a", "b")
+
+        timed("sfxpairs.write")(prov.join(verifiedSfx, Seq("a", "b"), "left_semi")
+          .write.mode("overwrite").parquet(s"$stateDir/sfx_pairs/batch=$id"))
+        prov.unpersist(blocking = false)
+        if (!collectStats) -1L
+        else spark.read.parquet(s"$stateDir/sfx_pairs/batch=$id")
+          .select("a", "b").distinct().count()
+      })))(1)
   }
 
   private val StateTables = Seq("docs", "signatures", "bands", "band_counts",
@@ -618,7 +692,7 @@ object IncrementalDedup {
     f.delete(new Path(tmpRoot), true)
     // one staging write per table, all independent → overlap their fixed
     // job costs (same lever as processBatch's concurrent chains)
-    inParallel(StateTables.map { t => () =>
+    inParallel(spark.sparkContext, StateTables.map { t => t -> { () =>
       readState(spark, stateDir, t, ids).foreach { df =>
         val merged = t match {
           case "band_counts" =>
@@ -629,7 +703,7 @@ object IncrementalDedup {
         }
         merged.write.mode("overwrite").parquet(s"$tmpRoot/$t")
       }
-    })
+    }})
     if (failBeforeMarker) return
     StateTables.foreach { t =>
       val staged = new Path(s"$tmpRoot/$t")

@@ -96,6 +96,16 @@ object SuffixPass {
     res
   }
 
+  /** Suffix-index fingerprints of one token stream under the configured
+    * mode (see DedupConfig.suffixIndexMode): distinct minLen-gram rolling
+    * hashes, or winnowed k-gram fingerprints at ~13× fewer rows. Shared by
+    * the batch pass, the incremental pass and the in-repo oracle so the
+    * three can never drift.
+    */
+  def indexFps(tokens: Array[Long], cfg: DedupConfig): Array[Long] =
+    if (cfg.suffixIndexMode == "winnow") winnow(tokens, cfg.winnowKEff, cfg.winnowW)
+    else grams(tokens, cfg.suffixMinLen)
+
   /** Ordered token-hash stream per doc (re-tokenized from content so the
     * main pipeline never has to carry token arrays between stages).
     */
@@ -118,8 +128,30 @@ object SuffixPass {
     val toks = tokenDocs(spark, docs, cfg)
       .filter(_.tokens.length >= cfg.suffixMinLen) // can't hold a minLen run otherwise
 
-    val fps = toks.flatMap(d => grams(d.tokens, minLen).map(fp => (fp, d.doc_id)))
+    val fps = toks.flatMap(d => indexFps(d.tokens, cfg).map(fp => (fp, d.doc_id)))
       .toDF("fp", "doc_id")
+
+    // Size the gram exchange by BYTES, not core count (round-5 finding,
+    // promoted from the bench env knob into the engine): with partitions
+    // pinned to the session default (= cores on this box) the content-shape
+    // sort buffers ~50× a sized deployment's share and spills 3.8 GB/run;
+    // 4× cores removed the spill and cut both protocol walls 25%. The gram
+    // index is ≈ 16 bytes per surviving token (winnow mode: ×2/(w+1)), and
+    // tokens ≈ content bytes / 6, so one cheap content-byte aggregation
+    // (scanning only the content column — the pass tokenizes that column
+    // twice anyway) sizes each sort task at ~32 MB of gram rows. Floored at
+    // the session setting so small corpora keep their plans unchanged;
+    // `spark.graft.suffix.gramPartitions` overrides explicitly.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val gramParts = spark.conf.getOption("spark.graft.suffix.gramPartitions")
+      .map(_.toInt)
+      .getOrElse {
+        val contentBytes = docs
+          .agg(coalesce(sum(octet_length(col("content"))), lit(0L))).head().getLong(0)
+        val density = if (cfg.suffixIndexMode == "winnow") 2.0 / (cfg.winnowW + 1) else 1.0
+        val gramBytesEst = (contentBytes / 6.0 * 16.0 * density).toLong
+        math.max(sessionParts, (gramBytesEst / (32L << 20) + 1).toInt)
+      }
 
     // Candidate pairs from shared rare fingerprints: one fp-hash shuffle +
     // in-partition sort, then a streaming group scan.
@@ -145,23 +177,26 @@ object SuffixPass {
     // partition it clears and keeps streaming instead of accumulating
     // O(partition pair output) heap.
     val cands = fps
-      .repartition(col("fp"))
+      .repartition(gramParts, col("fp"))
       .sortWithinPartitions("fp")
       .as[(Long, Long)]
       .mapPartitions { rows =>
         val it = rows.buffered
         val SeenCap = 1 << 21 // ~2M lists ≈ low hundreds of MB worst case
-        // Insertion-order LRU, not clear()-on-full: gram fps of one shared
+        // Access-order LRU, not clear()-on-full: gram fps of one shared
         // run are scattered across the fp-sorted scan, so a full clear right
         // when the partition holds millions of distinct small lists throws
         // away every accumulated list at once and the dedup rate collapses
-        // exactly when the pair exchange is largest. Evicting only the
-        // eldest entry degrades gracefully (recent lists — the ones still
-        // being re-emitted — stay resident). Dedup remains opportunistic:
-        // an evicted list re-emits and dropDuplicates corrects it.
+        // exactly when the pair exchange is largest. accessOrder=true makes
+        // set.add's internal put refresh an existing key's position, so
+        // recent lists — the ones still being re-emitted — really do stay
+        // resident (an insertion-order map would be FIFO: a hot list
+        // inserted early gets evicted first — round-5 ADVICE). Dedup
+        // remains opportunistic: an evicted list re-emits and
+        // dropDuplicates corrects it.
         val seenLists = java.util.Collections.newSetFromMap(
           new java.util.LinkedHashMap[scala.collection.immutable.ArraySeq[Long], java.lang.Boolean](
-              1 << 10, 0.75f) {
+              1 << 10, 0.75f, true) {
             override def removeEldestEntry(
                 e: java.util.Map.Entry[scala.collection.immutable.ArraySeq[Long], java.lang.Boolean]): Boolean =
               size() > SeenCap

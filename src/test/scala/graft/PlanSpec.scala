@@ -84,7 +84,9 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       spark, DedupPipeline.distinctByContent(t1), cfg)
     sfx.count() // materialize so executedPlan is the final adaptive plan
     val p = plan(sfx)
-    assert(!p.contains("REPARTITION_BY_COL"),
+    // the gram exchange is now byte-sized with an explicit partition count
+    // (REPARTITION_BY_NUM origin) — assert neither spelling leaks
+    assert(!p.contains("REPARTITION_BY_COL") && !p.contains("REPARTITION_BY_NUM"),
       "gram repartition leaked into the verify plan — candidate checkpoint lost")
     assert(p.contains("Scan ExistingRDD"), "checkpointed candidate/token scan missing")
   }

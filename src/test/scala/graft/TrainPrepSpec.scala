@@ -51,10 +51,66 @@ class TrainPrepSpec extends AnyFunSuite with SparkTestBase {
     val maxTok = p8.map(_.getLong(1)).max
     val perShard = p8.groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(1)).sum)
     assert(perShard.values.forall(_ <= budget + maxTok - 1), perShard.toMap.toString)
-    // every shard except possibly the last crossed its budget boundary
+    // every shard except possibly the last crossed its budget boundary:
+    // the cumulative token mass at each interior shard's close must reach
+    // (shard_id+1)·budget, and no shard id is skipped (the round-5 ADVICE
+    // pointed out the old `forall(_ >= 1)` was vacuous — groupBy values
+    // are ≥ 1 by construction)
     val lastShard = ids.max
-    assert(perShard.collect { case (s, t) if s != lastShard => t }
-      .forall(_ >= 1), "no empty interior shards")
+    assert((0L to lastShard).forall(perShard.keySet.contains), "gap in shard ids")
+    var cum = 0L
+    val closeCum = scala.collection.mutable.Map.empty[Long, Long]
+    p8.foreach { r => cum += r.getLong(1); closeCum(r.getLong(2)) = cum }
+    assert(closeCum.collect { case (s, c) if s != lastShard => (s, c) }
+      .forall { case (s, c) => c >= (s + 1) * budget },
+      s"interior shard closed before its budget boundary: $closeCum")
+  }
+
+  test("packShards skew guard: clustered id space is auto-rebucketed to a bounded plan") {
+    // dense id block (2000 ids spaced 15 apart) + one far outlier: with 8
+    // buckets the whole block lands in bucket 0 — the near-single-task
+    // window the guard exists to catch. The auto-raise must refine until
+    // no bucket exceeds the row cap, without changing the assignment.
+    val dir = java.nio.file.Files.createTempDirectory("graft-skewids").toString
+    val ids = (0 until 2000).map(_.toLong * 15) :+ 1000000L
+    spark.createDataFrame(ids.map(i => (i, s"tok$i word$i more$i", "en")))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val budget = 100L
+    val (cached, out, effBuckets) =
+      TrainPrep.buildPacked(spark, dir, budget, 8, maxBucketRows = 256L)
+    val packed = out.orderBy("doc_id").collect()
+    cached.unpersist(blocking = false)
+    assert(effBuckets > 8, "skewed id space was not rebucketed")
+    // bounded plan: recompute the bucket histogram at the effective grid
+    val minId = ids.min; val maxId = ids.max
+    val width = math.max(1L, (maxId - minId) / effBuckets + 1)
+    val hist = ids.groupBy(i => (i - minId) / width).view.mapValues(_.size).toMap
+    assert(hist.values.max <= 256, s"bucket still oversized: max=${hist.values.max}")
+    // correctness unchanged: matches the single-window reference
+    val nTok = packed.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var run = 0L
+    val ref = ids.sorted.map { i => val s = run / budget; run += nTok(i); (i, s) }
+    assert(packed.map(r => (r.getLong(0), r.getLong(2))).toSeq == ref.toSeq,
+      "rebucketed assignment differs from the global-window reference")
+  }
+
+  test("stratifiedSample pre-filter: exact on skewed groups, loud fallback when starved") {
+    // planted skewed corpus: group sizes 3 / 60 / 600
+    val dir = java.nio.file.Files.createTempDirectory("graft-strat").toString
+    val rows = (0 until 3).map(i => (i.toLong, s"t$i", "aa")) ++
+      (100 until 160).map(i => (i.toLong, s"t$i", "bb")) ++
+      (1000 until 1600).map(i => (i.toLong, s"t$i", "cc"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val plain = TrainPrep.stratifiedSample(spark, dir, k = 5).collect().toSeq
+    val filtered = TrainPrep.stratifiedSample(spark, dir, k = 5, preFilter = true).collect().toSeq
+    assert(filtered == plain, "pre-filtered sample differs from the unfiltered window")
+    // starved pre-filter (overshoot ≈ 0 → cut keeps almost nothing) must
+    // fall back to the exact unfiltered result, not silently under-sample
+    val starved = TrainPrep.stratifiedSample(spark, dir, k = 5, preFilter = true,
+      overshoot = 1e-9).collect().toSeq
+    assert(starved == plain, "fallback path returned a different sample")
   }
 
   test("packShards plans no globally-partitioned window (the 100-TB trap)") {

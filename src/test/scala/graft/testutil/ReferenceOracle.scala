@@ -111,7 +111,9 @@ object ReferenceOracle {
     // pipeline; sharing a minLen-gram ⟺ sharing a substring ≥ minLen).
     val fpIndex = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
     for (id <- reps if toks(id).length >= cfg.suffixMinLen) {
-      SuffixPass.grams(toks(id), cfg.suffixMinLen).foreach { fp =>
+      // indexFps mirrors the engine's suffixIndexMode (grams|winnow) so
+      // fixture equality holds in BOTH modes
+      SuffixPass.indexFps(toks(id), cfg).foreach { fp =>
         fpIndex.getOrElseUpdate(fp, mutable.ArrayBuffer.empty) += id
       }
     }

@@ -306,6 +306,7 @@ object ProfPlans {
     // offsets join, NOT a global-order window (TrainPrepSpec guards)
     show("train_split", graft.SparkEntry.queries("train_split")(spark, d))
     show("pack_shards", graft.SparkEntry.queries("pack_shards")(spark, d))
+    show("shard_stats", graft.SparkEntry.queries("shard_stats")(spark, d))
     show("sample_stratified",
       graft.SparkEntry.queries("sample_stratified")(spark, d))
     spark.stop()
