@@ -97,11 +97,14 @@ object DedupPipeline {
     // (localCheckpoint under AQE — see SuffixPass), which used to serialize
     // the whole gram shuffle AHEAD of every LSH-side job. The two subtrees
     // are independent until the verified union, so run the suffix pass on
-    // its own thread and spend the wait materializing the t1/t1Distinct/
-    // sigs/bands caches every later action needs anyway — work moved
-    // earlier, not added (the caller's first action no longer pays it).
+    // its own thread and spend the wait materializing the sigs/bands caches
+    // every later action needs anyway — work moved earlier, not added (the
+    // caller's first action no longer pays it). t1Distinct is materialized
+    // FIRST, before the fork: both branches read it, and two cold racers
+    // would otherwise each run the ingest + sha-distinct shuffles.
     val suffixFut =
       if (withSuffixPass) {
+        t1Distinct.count(): Unit
         val out = new java.util.concurrent.CompletableFuture[DataFrame]()
         val th = new Thread(() =>
           try out.complete(suffix_.containmentPairs(spark, t1Distinct, cfg)

@@ -70,11 +70,32 @@ object SparkEntry {
     }
 
   /** Shared preamble of the two exact-Jaccard surfaces: the memoized
-    * pipeline result plus the sha-distinct reps' shingle arrays.
+    * pipeline result plus the sha-distinct reps' shingle arrays. The
+    * shingle table is memoized per (session, input) with a persisted
+    * DataFrame — dedup_exact_jaccard and dedup_cand_jaccard otherwise each
+    * re-ran the ingest + sha-distinct + tokenize/shingle kernel.
     */
+  private val shinglesCache =
+    scala.collection.concurrent.TrieMap.empty[String, (SparkSession, DataFrame)]
+
   private def repShingles(s: SparkSession, d: String): (DedupPipeline.Result, DataFrame) = {
-    val t1d = DedupPipeline.distinctByContent(docsT1(s, d))
-    (pipeline(s, d), DedupPipeline.shingled(s, t1d, cfg))
+    val sh = shinglesCache.get(d) match {
+      case Some((owner, df)) if owner eq s => df
+      case stale =>
+        stale.foreach { case e @ (owner, df) =>
+          if (shinglesCache.remove(d, e) && owner.sparkContext.isStopped)
+            scala.util.Try(df.unpersist(blocking = false))
+        }
+        val df = DedupPipeline.shingled(
+          s, DedupPipeline.distinctByContent(docsT1(s, d)), cfg).persist()
+        shinglesCache.putIfAbsent(d, (s, df)) match {
+          case Some((owner, winner)) if owner eq s =>
+            df.unpersist(blocking = false); winner
+          case Some(_) => df
+          case None => df
+        }
+    }
+    (pipeline(s, d), sh)
   }
 
   /** Original document id recovered from the canonical path ('doc/<id>') —
@@ -494,7 +515,13 @@ object SparkEntry {
       // self-join input also drops the (dominant) unique-shingle mass
       val exF = ex.withColumn("df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      val exK = exF.where(col("df") <= JaccardDfCap)
+      // the capped shingle table feeds THREE subtrees (both self-join sides
+      // + the per-doc counts, which the joins consume twice) and neither
+      // ReuseExchange nor AQE collapses the duplicated typed kernel+window
+      // pipeline — without the checkpoint the tokenize/shingle kernel ran
+      // FOUR times per query (same finding and fix as the suffix pass's
+      // candidate checkpoint; see plans/r06/dedup_jaccard_sql_*.txt)
+      val exK = exF.where(col("df") <= JaccardDfCap).localCheckpoint(false)
       val n = exK.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val exJ = exK.where(col("df") >= 2).select("doc_id", "s")
       val inter = exJ.as("x").join(exJ.as("y"),
