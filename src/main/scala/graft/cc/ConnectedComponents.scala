@@ -37,12 +37,20 @@ object ConnectedComponents {
 
     // Fast path: an edge list already small enough for the driver skips the
     // distinct shuffle AND the star rounds entirely — union-find tolerates
-    // duplicate edges, and the non-distinct count only over-estimates (so
-    // the cutoff stays conservative).
-    if (maxLocalEdges > 0 && oriented.count() <= maxLocalEdges) {
-      val r = localFinish(spark, oriented) // collects inside — safe to drop after
-      oriented.unpersist(blocking = false)
-      return r
+    // duplicate edges. ONE incremental take replaces the old count+collect
+    // job pair: if the list fits the cutoff, the taken rows ARE the
+    // union-find input (take's limit+1 probe proves the bound; row order
+    // is irrelevant to min-root union-find). CC sits on four driver
+    // surfaces (batch clusters, incremental clusters, embedding clusters),
+    // so the saved job is paid back per entry.
+    if (maxLocalEdges > 0) {
+      import spark.implicits._
+      val cap = math.min(maxLocalEdges, Int.MaxValue - 2L).toInt
+      val head = oriented.as[(Long, Long)].take(cap + 1)
+      if (head.length <= cap) {
+        oriented.unpersist(blocking = false)
+        return localFinish(spark, head)
+      }
     }
 
     var e = oriented.distinct().localCheckpoint(true)
@@ -81,7 +89,10 @@ object ConnectedComponents {
       iter += 1
     }
 
-    if (!converged && prev._1 <= maxLocalEdges) return localFinish(spark, e)
+    if (!converged && prev._1 <= maxLocalEdges) {
+      import spark.implicits._
+      return localFinish(spark, e.as[(Long, Long)].collect())
+    }
 
     // At the fixpoint edges form stars (child → component min).
     e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
@@ -93,9 +104,8 @@ object ConnectedComponents {
     * components as the input graph — star rounds only rewire within
     * components and every non-root node keeps an edge until convergence).
     */
-  private def localFinish(spark: SparkSession, e: DataFrame): DataFrame = {
+  private def localFinish(spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val edges = e.as[(Long, Long)].collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x

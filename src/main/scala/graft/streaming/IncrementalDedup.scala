@@ -344,6 +344,11 @@ object IncrementalDedup {
       newShaDocs.groupBy("content_sha256").agg(min("doc_id").as("doc_id")),
       Seq("content_sha256", "doc_id"))
       .persist()
+    // materialize ONCE before the chains fork: the four chain-head jobs
+    // (signature/band/token/gram writes) all read repsNew, and cold racers
+    // would each re-run its sha-group shuffle (the duplicated shuffle reads
+    // would also be charged against StreamingSpec's flat-shuffle budget)
+    timed("reps.count")(repsNew.count()): Unit
 
     // The three state-building chains are INDEPENDENT until the commit
     // marker (disjoint tables: signatures/bands/band_counts/lsh_pairs vs
@@ -402,11 +407,19 @@ object IncrementalDedup {
       repsNew: DataFrame, done: Seq[Long], id: Long, nNew: Long,
       cfg: DedupConfig): Unit = {
     val sigsNew = DedupPipeline.signatures(spark, repsNew, cfg)
-    // append-only writes: ONLY this batch's partition is touched
-    timed("sigs.write")(sigsNew.write.mode("overwrite").parquet(s"$stateDir/signatures/batch=$id"))
-    val sigsNewD = spark.read.parquet(s"$stateDir/signatures/batch=$id")
-    val bandsNew = graft.lsh.Banding.bandRows(sigsNewD, cfg)
-    timed("bands.write")(bandsNew.write.mode("overwrite").parquet(s"$stateDir/bands/batch=$id"))
+    // bands derive from the signature PLAN, not the written partition: the
+    // kernel re-runs over the already-materialized repsNew cache (batch-
+    // sized — trivial), which lets the two append-only state writes
+    // overlap instead of serializing on a write→read-back. Rows are
+    // identical (deterministic kernel); the candidate path below reads
+    // the written parquet as before (clean scans keep exchange reuse and
+    // size estimates intact — see the chain scaladoc).
+    val bandsNew = graft.lsh.Banding.bandRows(sigsNew, cfg)
+    inParallel(spark.sparkContext, Seq[(String, () => Unit)](
+      "sigs.write" -> (() => timed("sigs.write")(sigsNew
+        .write.mode("overwrite").parquet(s"$stateDir/signatures/batch=$id"))),
+      "bands.write" -> (() => timed("bands.write")(bandsNew
+        .write.mode("overwrite").parquet(s"$stateDir/bands/batch=$id")))))
     val bandsNewD = spark.read.parquet(s"$stateDir/bands/batch=$id")
     val bcNew = bandsNewD.groupBy("band", "band_hash").agg(count(lit(1)).as("cnt"))
 
@@ -549,19 +562,24 @@ object IncrementalDedup {
     // plans and starved the planner of size estimates).
     val toksNew = graft.suffix.SuffixPass.tokenDocs(spark, repsNew, cfg)
       .filter(_.tokens.length >= minLen) // can't hold a minLen run otherwise
-    timed("toks.write")(toksNew.toDF().write.mode("overwrite").parquet(s"$stateDir/toks/batch=$id"))
-    val toksNewD = spark.read.parquet(s"$stateDir/toks/batch=$id")
-
-    // the gram-key volume bound rides the write job's observation (grams
-    // scale with TOKENS, not docs, so a doc bound would be wildly wrong
-    // here — and a follow-up count job is a job the fixed floor can't spare)
-    val nGramRows = timed("grams.write")(writeCounted(
-      toksNewD.select(col("doc_id"), col("tokens")).as[(Long, Array[Long])]
+      .toDF()
+    // grams derive from the token PLAN, not the written partition (mirrors
+    // the LSH chain: the tokenize re-runs over the materialized repsNew
+    // cache, letting the two state writes overlap). The gram-key volume
+    // bound rides the gram write's observation (grams scale with TOKENS,
+    // not docs, so a doc bound would be wildly wrong here — and a
+    // follow-up count job is a job the fixed floor can't spare).
+    val gramsNew =
+      toksNew.select(col("doc_id"), col("tokens")).as[(Long, Array[Long])]
         .flatMap { case (d, tk) =>
           graft.suffix.SuffixPass.indexFps(tk, cfg).map(fp => (fp, d))
         }
-        .toDF("fp", "doc_id"),
-      s"$stateDir/grams/batch=$id"))
+        .toDF("fp", "doc_id")
+    val nGramRows = inParallel(spark.sparkContext, Seq[(String, () => Long)](
+      "toks.write" -> (() => { timed("toks.write")(toksNew
+        .write.mode("overwrite").parquet(s"$stateDir/toks/batch=$id")); 0L }),
+      "grams.write" -> (() => timed("grams.write")(
+        writeCounted(gramsNew, s"$stateDir/grams/batch=$id")))))(1)
     val gramsNewD = spark.read.parquet(s"$stateDir/grams/batch=$id")
     // grams() emits distinct fps per doc, so count(*) = docs-per-gram
     val gcNew = gramsNewD.groupBy("fp").agg(count(lit(1)).as("cnt"))
