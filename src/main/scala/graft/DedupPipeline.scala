@@ -128,33 +128,23 @@ object DedupPipeline {
     // re-aggregating the full corpus (one groupBy shuffle of t1 saved)
     val repsBySha = t1Distinct.select(col("content_sha256"), col("doc_id").as("rep"))
     val exact = lsh.CandidatePairs.exactPairsFromReps(t1, repsBySha)
+    val suffix = suffixFut.map(_.get()).getOrElse(spark.emptyDataFrame)
 
     // Verified edge set: LSH pairs pass Jaccard/Hamming; exact and suffix
     // pairs are verified by construction. Canonical union with src priority.
-    // With the suffix pass on its own thread, the EXPENSIVE LSH side
-    // (pair generation + two-phase verify) materializes CONCURRENTLY with
-    // the suffix gram pipeline instead of after it: strongestWithEst is a
-    // (min priority, max est) aggregation, hence associative — collapsing
-    // lsh ∪ exact first and folding the suffix rows in afterwards yields
-    // the identical verified set.
     val lshVerified = verify.Verifier.verifyLshPairs(lshPairs, sigs, cfg)
     val exactV = exact.withColumn("est_jaccard", lit(1.0d)).select("a", "b", "est_jaccard", "src")
+    val suffixV =
+      if (withSuffixPass)
+        suffix.withColumn("est_jaccard", lit(1.0d)).select("a", "b", "est_jaccard", "src")
+      else null
+    val unionAll =
+      if (withSuffixPass) lshVerified.unionByName(exactV).unionByName(suffixV)
+      else lshVerified.unionByName(exactV)
     // verified/clusters/candidates feed several downstream consumers (stats,
     // members, novelty, the driver's per-stage queries) — persist so the
     // pair/verify/CC subtrees run once per session, not once per consumer
-    val (verified, suffix, lshExactCache) =
-      if (withSuffixPass) {
-        val lshExact = lsh.CandidatePairs.strongestWithEst(
-          lshVerified.unionByName(exactV)).persist()
-        lshExact.count(): Unit // materialize while the suffix thread works
-        val sfx = suffixFut.get.get()
-        val sfxV = sfx.withColumn("est_jaccard", lit(1.0d))
-          .select("a", "b", "est_jaccard", "src")
-        (lsh.CandidatePairs.strongestWithEst(lshExact.unionByName(sfxV)).persist(),
-          sfx, Seq(lshExact))
-      } else
-        (lsh.CandidatePairs.strongestWithEst(lshVerified.unionByName(exactV)).persist(),
-          spark.emptyDataFrame, Nil)
+    val verified = lsh.CandidatePairs.strongestWithEst(unionAll).persist()
 
     // Exact-dup members are pendant vertices: LSH/suffix pairs only touch
     // sha-reps, so a member's sole edge is (rep, member). CC therefore runs
@@ -177,7 +167,7 @@ object DedupPipeline {
       else lshPairs.unionByName(exact)).persist()
 
     Result(t1, sigs, bands, candidates, verified, clusters, stats, stopBands,
-      extraCaches = Seq(t1Distinct, lshPairs) ++ lshExactCache)
+      extraCaches = Seq(t1Distinct, lshPairs))
   }
 
   private val suffix_ = graft.suffix.SuffixPass
