@@ -51,4 +51,22 @@ class InParallelSpec extends AnyFunSuite with SparkTestBase {
       "a" -> (() => 1), "b" -> (() => 2), "c" -> (() => 3)))
     assert(r == Seq(1, 2, 3))
   }
+
+  test("a failing batch never reaches its commit marker (exactly-once guard, explicit)") {
+    // round-5 VERDICT item 6 asked for this implicit property as an
+    // explicit test: any failure inside processBatch — here a runtime
+    // error in the batch's own evaluation — must propagate BEFORE the
+    // marker write, so a replay recomputes instead of trusting half state
+    import org.apache.spark.sql.functions.{lit, raise_error}
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-fail").toString
+    val bad = spark.createDataFrame(Seq(("r", "p", "c", "en", "some text here")))
+      .toDF("repo", "path", "commit", "lang", "content")
+      .withColumn("content", raise_error(lit("boom")).cast("string"))
+    intercept[Exception] {
+      IncrementalDedup.processBatch(spark, bad, dir, graft.conf.DedupConfig.default)
+    }
+    val commits = new java.io.File(s"$dir/_commits")
+    assert(!commits.exists() || commits.list().isEmpty,
+      s"failed batch left commit markers: ${Option(commits.list()).map(_.toSeq)}")
+  }
 }
