@@ -111,8 +111,12 @@ object TrainPrep {
     packCache.get(key) match {
       case Some((owner, _, out)) if owner eq spark => out
       case stale =>
-        stale.foreach { case e @ (_, cached, _) =>
-          if (packCache.remove(key, e)) cached.unpersist(blocking = false)
+        // evict a replaced session's entry; only unpersist when its context
+        // is really stopped (a live concurrent session may be mid-query on
+        // it — same discipline as SparkEntry's caches)
+        stale.foreach { case e @ (owner, cached, _) =>
+          if (packCache.remove(key, e) && owner.sparkContext.isStopped)
+            scala.util.Try(cached.unpersist(blocking = false))
         }
         val (cached, out, _) = buildPacked(spark, sfDir, budget, numBuckets,
           DefaultMaxBucketRows)

@@ -400,8 +400,10 @@ object IncrementalDedup {
     * parquet-backed: an earlier attempt to cache them instead broke
     * exchange reuse inside the prune plans (each broadcast build
     * recomputed the whole upstream pipeline — per-batch shuffle 2.6×) and
-    * starved the planner of size estimates. Critical path: 5 serial jobs
-    * → 4.
+    * starved the planner of size estimates. Together with the
+    * band-derivation from the signature PLAN below (the two state writes
+    * overlap), the chain's critical path is 5 serial jobs → 3
+    * (max(sigs, bands) write → prov count → pair write).
     */
   private def lshIncrement(spark: SparkSession, stateDir: String,
       repsNew: DataFrame, done: Seq[Long], id: Long, nNew: Long,
